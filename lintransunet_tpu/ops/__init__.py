@@ -1,0 +1,40 @@
+"""Kernel/primitive layer: the compute-intensive ops, written TPU-first.
+
+Everything here is a pure function over jnp arrays, jit/vmap/grad friendly,
+static-shape, with no host syncs. These replace the cuDNN/cuBLAS/ATen
+internals the reference leans on (SURVEY.md section 2b).
+"""
+
+from lintransunet_tpu.ops.patchify import windows_embedding, windows_unembedding
+from lintransunet_tpu.ops.pool import max_pool3d, avg_pool2d
+from lintransunet_tpu.ops.bbox import min_max_indice, mask_boundary
+from lintransunet_tpu.ops.resample import (
+    transfer_index,
+    transfer_back_index,
+    bilinear_weights,
+    separable_grid_sample_2d,
+    resize_linear_align_corners,
+    resize_nearest,
+)
+from lintransunet_tpu.ops.attention import linear_attention, softmax_attention
+from lintransunet_tpu.ops.conv import conv3d, instance_norm, leaky_relu
+
+__all__ = [
+    "windows_embedding",
+    "windows_unembedding",
+    "max_pool3d",
+    "avg_pool2d",
+    "min_max_indice",
+    "mask_boundary",
+    "transfer_index",
+    "transfer_back_index",
+    "bilinear_weights",
+    "separable_grid_sample_2d",
+    "resize_linear_align_corners",
+    "resize_nearest",
+    "linear_attention",
+    "softmax_attention",
+    "conv3d",
+    "instance_norm",
+    "leaky_relu",
+]

@@ -1,0 +1,71 @@
+"""3D convolution + InstanceNorm + LeakyReLU primitives, channels-last.
+
+These replace the cuDNN conv blocks of the reference (Unet_3Dblock.py:
+310-316, 523-529 and friends). Convs lower to XLA conv_general_dilated with
+``(N, H, W, D, C) x (kh, kw, kd, I, O)`` layouts, which XLA tiles straight
+onto the MXU; the norm + activation epilogues fuse into the conv output.
+
+InstanceNorm matches ``nn.InstanceNorm3d`` defaults: affine=False,
+eps=1e-5, biased variance, stats per (sample, channel) over spatial dims —
+always accumulated in float32 regardless of compute dtype.
+"""
+
+from functools import partial
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+_DIMNUMS = ("NHWDC", "HWDIO", "NHWDC")
+
+_IntOr3 = Union[int, Sequence[int]]
+
+
+def _triple(v: _IntOr3) -> Tuple[int, int, int]:
+    if isinstance(v, int):
+        return (v, v, v)
+    return tuple(v)  # type: ignore[return-value]
+
+
+def conv3d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray = None,
+    stride: _IntOr3 = 1,
+    padding: _IntOr3 = 0,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """Channels-last 3D conv with symmetric explicit padding (torch semantics).
+
+    ``padding=k//2`` with odd k reproduces torch ``padding='same'`` exactly,
+    including strided cases (torch pads symmetrically; XLA SAME does not,
+    so explicit padding is used everywhere).
+    """
+    s = _triple(stride)
+    p = _triple(padding)
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=s,
+        padding=[(p[0], p[0]), (p[1], p[1]), (p[2], p[2])],
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+@partial(jax.jit, static_argnames=("eps",))
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Per-(N, C) normalisation over spatial dims of (N, ..., C), affine-free."""
+    axes = tuple(range(1, x.ndim - 1))
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.01) -> jnp.ndarray:
+    """torch nn.LeakyReLU default slope."""
+    return jnp.where(x >= 0, x, x * jnp.asarray(negative_slope, x.dtype))

@@ -1,0 +1,136 @@
+"""Fisheye ROI warping as separable batched matmuls (the TPU grid_sample).
+
+The reference warps each skip-connection feature map into a fixed-size ROI
+crop with ``F.grid_sample`` over a piecewise-linear "fisheye" grid
+(Unet_3Dblock.py:51-82, 985-1039, 1080-1117). The key structural fact the
+TPU build exploits: those grids are *separable* — the x-coordinate depends
+only on the output row and the y-coordinate only on the output column. A
+separable bilinear warp is exactly two dense matmuls with tent-kernel weight
+matrices, which run on the MXU with zero gathers and differentiate cleanly.
+Zero-padding out-of-range samples falls out of the tent weights for free.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def transfer_index(x0, x1, h, roi_size: int, eval_roi_size: int) -> jnp.ndarray:
+    """Forward fisheye grid: full-image coords sampled for each ROI pixel.
+
+    Vectorised port of ``get_transfer_index`` (Unet_3Dblock.py:51-64).
+    x0, x1: (B,) box extents (float). h: scalar (H-1, "real distance").
+    Returns (B, eval_roi_size) normalised coords in [-1, 1] (align_corners).
+    Inside [x0, x1] the grid advances at slope k2 (zoomed-in, roi_size of the
+    output pixels span the box); outside at slope k1 (context, squeezed).
+    """
+    x0 = jnp.asarray(x0, jnp.float32).reshape(-1, 1)
+    x1 = jnp.asarray(x1, jnp.float32).reshape(-1, 1)
+    idx = jnp.arange(eval_roi_size, dtype=jnp.float32)[None, :]
+    k2 = (x1 - x0) / (roi_size - 1)
+    k1 = (h - x1 + x0) / (eval_roi_size - roi_size)
+    out = idx * k2 + x0 * (1 - k2 / k1)
+    low = out * (k1 / k2) + x0 * (1 - k1 / k2)
+    out = jnp.where(out <= x0, low, out)
+    high = out * (k1 / k2) + x1 * (1 - k1 / k2)
+    out = jnp.where(out >= x1, high, out)
+    return out * 2.0 / h - 1.0
+
+
+def transfer_back_index(x0, x1, h, roi_size: int, eval_roi_size: int) -> jnp.ndarray:
+    """Inverse fisheye grid: ROI coords sampled for each full-image pixel.
+
+    Vectorised port of ``get_transfer_back_index`` (Unet_3Dblock.py:66-82).
+    Returns (B, h+1) normalised coords over the eval_roi_size axis.
+    """
+    x0 = jnp.asarray(x0, jnp.float32).reshape(-1, 1)
+    x1 = jnp.asarray(x1, jnp.float32).reshape(-1, 1)
+    idx = jnp.arange(int(h) + 1, dtype=jnp.float32)[None, :]
+    k2 = roi_size / (x1 - x0)
+    k1 = (eval_roi_size - roi_size) / (h - x1 + x0)
+    p0 = x0 * k1
+    p1 = eval_roi_size - (h - x1) * k1
+    out = idx * k2 + p0 * (1 - k2 / k1)
+    low = out * (k1 / k2) + p0 * (1 - k1 / k2)
+    out = jnp.where(out <= p0, low, out)
+    high = out * (k1 / k2) + p1 * (1 - k1 / k2)
+    out = jnp.where(out >= p1, high, out)
+    return out * 2.0 / eval_roi_size - 1.0
+
+
+def bilinear_weights(coords: jnp.ndarray, in_size: int) -> jnp.ndarray:
+    """(B, M) normalised align_corners coords -> (B, M, in_size) tent weights.
+
+    Row i holds the bilinear interpolation weights of output sample i over
+    the input axis. Out-of-range samples get all-zero rows (== grid_sample
+    padding_mode='zeros'); partially-out-of-range samples keep only the
+    in-bounds neighbour's weight, exactly like torch.
+    """
+    pix = (coords.astype(jnp.float32) + 1.0) * 0.5 * (in_size - 1)
+    grid = jnp.arange(in_size, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pix[..., None] - grid))
+
+
+def separable_grid_sample_2d(
+    x: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray
+) -> jnp.ndarray:
+    """Warp (N, H, W, D, C) by per-batch separable weights.
+
+    wx: (N, OH, H), wy: (N, OW, W). Equivalent to batched 2D bilinear
+    grid_sample applied slice-by-slice over depth, but expressed as two
+    MXU matmuls contracting H then W.
+    """
+    dt = x.dtype
+    t = jnp.einsum("nih,nhwdc->niwdc", wx.astype(dt), x, precision="highest", optimize=True)
+    return jnp.einsum("njw,niwdc->nijdc", wy.astype(dt), t, precision="highest", optimize=True)
+
+
+def _linear_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Static (out, in) align_corners linear interpolation matrix."""
+    if in_size == 1 or out_size == 1:
+        src = np.zeros((out_size,), np.float32)
+    else:
+        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    grid = np.arange(in_size, dtype=np.float64)
+    w = np.maximum(0.0, 1.0 - np.abs(src[:, None] - grid[None, :]))
+    return w.astype(np.float32)
+
+
+def resize_linear_align_corners(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """Trilinear upsample with align_corners=True over (N, H, W, D, C).
+
+    Mirrors ``nn.Upsample(mode='trilinear', align_corners=True)``
+    (Unet_3Dblock.py:1341-1345). Implemented as per-axis matmuls against
+    compile-time-constant interpolation matrices, so XLA maps the whole
+    resize onto the MXU rather than scalar gathers.
+    """
+    if isinstance(scale, (int, float)):
+        scale = (scale, scale, scale)
+    n, h, w, d, c = x.shape
+    oh, ow, od = (int(round(s * v)) for s, v in zip(scale, (h, w, d)))
+    dt = x.dtype
+    if oh != h:
+        m = jnp.asarray(_linear_resize_matrix(h, oh), dt)
+        x = jnp.einsum("oh,nhwdc->nowdc", m, x, precision="highest", optimize=True)
+    if ow != w:
+        m = jnp.asarray(_linear_resize_matrix(w, ow), dt)
+        x = jnp.einsum("ow,nhwdc->nhodc", m, x, precision="highest", optimize=True)
+    if od != d:
+        m = jnp.asarray(_linear_resize_matrix(d, od), dt)
+        x = jnp.einsum("od,nhwdc->nhwoc", m, x, precision="highest", optimize=True)
+    return x
+
+
+def resize_nearest(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """Nearest-neighbour upsample over (N, H, W, D, C).
+
+    Matches ``nn.Upsample(scale_factor=s)`` default mode='nearest'
+    (UpEmbedBlock, Unet_3Dblock.py:421): out[i] = in[floor(i / s)].
+    For integer scale this is a pure repeat, which XLA lowers to a broadcast.
+    """
+    if isinstance(scale, (int, float)):
+        scale = (scale, scale, scale)
+    for axis, s in zip((1, 2, 3), scale):
+        s = int(s)
+        if s != 1:
+            x = jnp.repeat(x, s, axis=axis)
+    return x

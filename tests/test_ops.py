@@ -1,0 +1,320 @@
+"""Ops-layer numerics, checked against torch (CPU) as an independent oracle.
+
+The torch calls here re-express the reference's primitive semantics
+(model/Unet_3Dblock.py, model/trans_block.py) so our TPU formulations are
+verified against the exact library behaviour the reference relied on.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from lintransunet_tpu import ops
+
+
+def test_windows_embedding_roundtrip(rng):
+    x = rng.standard_normal((2, 16, 12, 5, 1)).astype(np.float32)
+    emb = ops.windows_embedding(jnp.asarray(x))
+    assert emb.shape == (2, 8, 6, 5, 4)
+    rec = ops.windows_unembedding(emb)
+    np.testing.assert_array_equal(np.asarray(rec), x)
+
+
+def test_windows_embedding_matches_reference_ordering(rng):
+    # Reference layout is (N, C, H, W, D); ours is (N, H, W, D, C).
+    x = rng.standard_normal((2, 1, 8, 8, 3)).astype(np.float32)
+    t = torch.from_numpy(x)
+    n, _, h, w, d = t.shape
+    k = 2
+    ref = t.reshape(n, h // k, k, w // k, k, d).permute(0, 2, 4, 1, 3, 5)
+    ref = ref.flatten(start_dim=1, end_dim=2)  # (N, 4, H/2, W/2, D)
+    ours = ops.windows_embedding(jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.numpy().transpose(0, 2, 3, 4, 1), rtol=0, atol=0
+    )
+
+
+def test_max_pool3d_matches_torch(rng):
+    x = rng.standard_normal((2, 8, 8, 6, 3)).astype(np.float32)
+    got = ops.max_pool3d(jnp.asarray(x), (2, 2, 1), (2, 2, 1))
+    ref = F.max_pool3d(
+        torch.from_numpy(x.transpose(0, 4, 1, 2, 3)), kernel_size=(2, 2, 1), stride=(2, 2, 1)
+    ).numpy().transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-6)
+
+
+def test_min_max_indice_matches_reference():
+    def torch_ref(hist, threshold=0.001):
+        # get_min_max_indice, Unet_3Dblock.py:37-49
+        t = torch.from_numpy(hist)
+        if torch.sum(t) == 0:
+            mid = torch.tensor(t.shape[0] / 2)
+            return float(mid - 1), float(mid + 1), float(mid)
+        ratio = torch.cumsum(t, dim=0) / torch.sum(t)
+        lo = torch.searchsorted(ratio, threshold, right=False)
+        hi = torch.searchsorted(ratio, 1 - threshold, right=True)
+        mid = torch.searchsorted(ratio, 0.5, right=True)
+        return float(lo), float(hi), float(mid)
+
+    rng = np.random.default_rng(1)
+    cases = [
+        np.zeros(32, np.float32),
+        rng.integers(0, 5, 64).astype(np.float32),
+        np.eye(16, dtype=np.float32)[3],
+        np.ones(10, np.float32),
+    ]
+    for hist in cases:
+        ours = [float(v) for v in ops.min_max_indice(jnp.asarray(hist))]
+        ref = list(torch_ref(hist))
+        assert ours == pytest.approx(ref), hist
+
+
+def test_mask_boundary_matches_reference_loop(rng):
+    # Port of ROIBridge.get_mask_boundary2 (Unet_3Dblock.py:821-873) in torch
+    # as oracle, including the sequential clamp semantics.
+    def torch_boundary(mask, min_h, min_w):
+        m = torch.from_numpy(mask)
+        n, h, w, d = m.shape
+        fx = torch.sum(m, dim=(2, 3)).float()
+        fy = torch.sum(m, dim=(1, 3)).float()
+        out = torch.zeros((n, 6))
+
+        def mmi(v):
+            if torch.sum(v) == 0:
+                mid = torch.tensor(v.shape[0] / 2)
+                return mid - 1, mid + 1, mid
+            r = torch.cumsum(v, 0) / torch.sum(v)
+            return (
+                torch.searchsorted(r, 0.001, right=False).float(),
+                torch.searchsorted(r, 0.999, right=True).float(),
+                torch.searchsorted(r, 0.5, right=True).float(),
+            )
+
+        for i in range(n):
+            out[i, 0], out[i, 3], hc = mmi(fx[i])
+            out[i, 1], out[i, 4], wc = mmi(fy[i])
+            out[i, 2], out[i, 5] = 0, d - 1
+            hs = out[i, 3] - out[i, 0]
+            ws = out[i, 4] - out[i, 1]
+            if hs < min_h:
+                out[i, 0] = torch.clamp(hc - min_h / 2, min=0)
+                out[i, 3] = torch.clamp(hc + min_h / 2, max=h)
+            if hs > h - min_h:
+                out[i, 0] = torch.clamp(hc - (h - min_h) / 2, min=0)
+                out[i, 3] = torch.clamp(hc + (h - min_h) / 2, max=h)
+            if ws < min_w:
+                out[i, 1] = torch.clamp(wc - min_w / 2, min=0)
+                out[i, 4] = torch.clamp(wc + min_w / 2, max=w)
+            if ws > w - min_w:
+                out[i, 1] = torch.clamp(wc - (w - min_w) / 2, min=0)
+                out[i, 4] = torch.clamp(wc + (w - min_w) / 2, max=w)
+        return out.numpy()
+
+    masks = (rng.random((4, 24, 20, 6)) > 0.97).astype(np.float32)
+    masks[1] = 0  # empty mask path
+    masks[2] = 1  # solid mask path (hits the too_big clamp)
+    got = ops.mask_boundary(jnp.asarray(masks), min_h_roi=15, min_w_roi=9)
+    ref = torch_boundary(masks, 15, 9)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+
+
+def _torch_transfer_index(x0, x1, h, roi_size, eval_roi_size):
+    # get_transfer_index, Unet_3Dblock.py:51-64
+    img = torch.arange(0, eval_roi_size, dtype=torch.float32)
+    x0 = torch.as_tensor(x0).reshape(-1, 1)
+    x1 = torch.as_tensor(x1).reshape(-1, 1)
+    k2 = (x1 - x0) / (roi_size - 1)
+    k1 = (h - x1 + x0) / (eval_roi_size - roi_size)
+    out = img * k2 + x0 * (1 - k2 / k1)
+    b = out <= x0
+    out2 = out * (k1 / k2) + x0 * (1 - k1 / k2)
+    out[b] = out2[b]
+    b = out >= x1
+    out2 = out * (k1 / k2) + x1 * (1 - k1 / k2)
+    out[b] = out2[b]
+    return (out * 2.0 / h - 1).numpy()
+
+
+def test_transfer_index_matches_reference():
+    x0 = np.array([3.0, 10.0], np.float32)
+    x1 = np.array([40.0, 55.0], np.float32)
+    got = ops.transfer_index(x0, x1, 63.0, roi_size=25, eval_roi_size=30)
+    ref = _torch_transfer_index(x0, x1, 63.0, 25, 30)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def _torch_transfer_back_index(x0, x1, h, roi_size, eval_roi_size):
+    # get_transfer_back_index, Unet_3Dblock.py:66-82
+    img = torch.arange(0, h + 1, dtype=torch.float32)
+    x0 = torch.as_tensor(x0).reshape(-1, 1)
+    x1 = torch.as_tensor(x1).reshape(-1, 1)
+    k2 = roi_size / (x1 - x0)
+    k1 = (eval_roi_size - roi_size) / (h - x1 + x0)
+    p0 = x0 * k1
+    p1 = eval_roi_size - (h - x1) * k1
+    out = img * k2 + p0 * (1 - k2 / k1)
+    b = out <= p0
+    out2 = out * (k1 / k2) + p0 * (1 - k1 / k2)
+    out[b] = out2[b]
+    b = out >= p1
+    out2 = out * (k1 / k2) + p1 * (1 - k1 / k2)
+    out[b] = out2[b]
+    return (out * 2.0 / eval_roi_size - 1).numpy()
+
+
+def test_transfer_back_index_matches_reference():
+    x0 = np.array([3.0, 10.0], np.float32)
+    x1 = np.array([40.0, 55.0], np.float32)
+    got = ops.transfer_back_index(x0, x1, 63, roi_size=25, eval_roi_size=30)
+    ref = _torch_transfer_back_index(x0, x1, 63, 25, 30)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_transfer_back_roundtrips_inside_roi():
+    # Forward then inverse mapping is near-identity inside the box (the
+    # reference formulas differ by a roi_size vs roi_size-1 slope, so the
+    # roundtrip carries an inherent ~1px skew; parity is what matters).
+    h = 63.0
+    x0, x1 = np.array([10.0]), np.array([40.0])
+    fwd = np.asarray(ops.transfer_index(x0, x1, h, 25, 30))[0]
+    back = np.asarray(ops.transfer_back_index(x0, x1, h, 25, 30))[0]
+    pix = np.arange(12, 39)
+    roi_coord = back[pix]  # normalised over eval_roi axis
+    roi_pix = (roi_coord + 1) / 2 * 30
+    img_coord = np.interp(roi_pix, np.arange(30), (fwd + 1) / 2 * h)
+    np.testing.assert_allclose(img_coord, pix, atol=1.5)
+
+
+def test_separable_grid_sample_matches_torch_grid_sample(rng):
+    n, h, w, d, c = 2, 24, 20, 3, 5
+    x = rng.standard_normal((n, h, w, d, c)).astype(np.float32)
+    x0 = np.array([2.0, 5.0], np.float32)
+    x1 = np.array([15.0, 18.0], np.float32)
+    y0 = np.array([1.0, 4.0], np.float32)
+    y1 = np.array([12.0, 16.0], np.float32)
+    gx = ops.transfer_index(x0, x1, h - 1, 10, 12)
+    gy = ops.transfer_index(y0, y1, w - 1, 6, 8)
+
+    wx = ops.bilinear_weights(gx, h)
+    wy = ops.bilinear_weights(gy, w)
+    got = ops.separable_grid_sample_2d(jnp.asarray(x), wx, wy)
+
+    # torch oracle mirrors roi_alignment2 (Unet_3Dblock.py:985-1039)
+    t = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))  # (N, C, H, W, D)
+    gx_t = torch.from_numpy(np.asarray(gx))
+    gy_t = torch.from_numpy(np.asarray(gy))
+    gxe = gx_t[:, None, :, None].expand(n, d, 12, 8).flatten(0, 1)
+    gye = gy_t[:, None, None, :].expand(n, d, 12, 8).flatten(0, 1)
+    grid = torch.stack([gye, gxe], dim=-1)
+    t2 = t.permute(0, 4, 1, 2, 3).flatten(0, 1)  # (N*D, C, H, W)
+    roi = F.grid_sample(t2, grid, align_corners=True)
+    roi = roi.reshape(n, d, c, 12, 8).permute(0, 3, 4, 1, 2)  # (N, OH, OW, D, C)
+    np.testing.assert_allclose(np.asarray(got), roi.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_resize_linear_align_corners_matches_torch(rng):
+    x = rng.standard_normal((2, 5, 6, 4, 3)).astype(np.float32)
+    got = ops.resize_linear_align_corners(jnp.asarray(x), (2, 2, 1))
+    ref = F.interpolate(
+        torch.from_numpy(x.transpose(0, 4, 1, 2, 3)),
+        scale_factor=(2, 2, 1),
+        mode="trilinear",
+        align_corners=True,
+    ).numpy().transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_resize_nearest_matches_torch(rng):
+    x = rng.standard_normal((1, 4, 3, 2, 5)).astype(np.float32)
+    got = ops.resize_nearest(jnp.asarray(x), 2)
+    ref = F.interpolate(
+        torch.from_numpy(x.transpose(0, 4, 1, 2, 3)), scale_factor=2, mode="nearest"
+    ).numpy().transpose(0, 2, 3, 4, 1)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_linear_attention_matches_reference(rng):
+    b, h, n, dk = 2, 4, 37, 16
+    q = rng.standard_normal((b, h, n, dk)).astype(np.float32)
+    k = rng.standard_normal((b, h, n, dk)).astype(np.float32)
+    v = rng.standard_normal((b, h, n, dk)).astype(np.float32)
+
+    # torch oracle: linear_attention (trans_block.py:41-67)
+    qt, kt, vt = (torch.from_numpy(a) for a in (q, k, v))
+    q2 = F.softmax(qt, dim=-1) / math.sqrt(dk)
+    k2 = F.softmax(kt, dim=-2)
+    ctx = torch.einsum("bhnd,bhne->bhde", k2, vt)
+    ref = torch.einsum("bhnd,bhde->bhne", q2, ctx).numpy()
+
+    got = ops.linear_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_linear_attention_mask(rng):
+    b, h, n, dk = 1, 2, 10, 8
+    q, k, v = (rng.standard_normal((b, h, n, dk)).astype(np.float32) for _ in range(3))
+    mask = np.ones((b, 1, n, 1), bool)
+    mask[:, :, 7:] = False
+    got = ops.linear_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask))
+    # masked tokens contribute ~nothing to the context
+    got_trunc = ops.linear_attention(
+        jnp.asarray(q[:, :, :]), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(got_trunc), atol=1e-6)
+    ref_ctx = ops.linear_attention(
+        jnp.asarray(q), jnp.asarray(k[:, :, :7]), jnp.asarray(v[:, :, :7])
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_ctx), atol=1e-4)
+
+
+def test_instance_norm_matches_torch(rng):
+    x = rng.standard_normal((2, 6, 5, 4, 7)).astype(np.float32) * 3 + 1
+    got = ops.instance_norm(jnp.asarray(x))
+    ref = torch.nn.functional.instance_norm(
+        torch.from_numpy(x.transpose(0, 4, 1, 2, 3))
+    ).numpy().transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_conv3d_matches_torch(rng):
+    x = rng.standard_normal((2, 8, 8, 6, 3)).astype(np.float32)
+    wgt = rng.standard_normal((4, 3, 3, 3, 3)).astype(np.float32)  # (O, I, kh, kw, kd)
+    bias = rng.standard_normal((4,)).astype(np.float32)
+    for stride in [(1, 1, 1), (2, 2, 1), (2, 2, 2)]:
+        ref = F.conv3d(
+            torch.from_numpy(x.transpose(0, 4, 1, 2, 3)),
+            torch.from_numpy(wgt),
+            torch.from_numpy(bias),
+            stride=stride,
+            padding=1,
+        ).numpy().transpose(0, 2, 3, 4, 1)
+        got = ops.conv3d(
+            jnp.asarray(x),
+            jnp.asarray(wgt.transpose(2, 3, 4, 1, 0)),
+            jnp.asarray(bias),
+            stride=stride,
+            padding=1,
+        )
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_depthwise_conv_matches_torch(rng):
+    c = 6
+    x = rng.standard_normal((2, 5, 5, 4, c)).astype(np.float32)
+    wgt = rng.standard_normal((c, 1, 3, 3, 3)).astype(np.float32)
+    ref = F.conv3d(
+        torch.from_numpy(x.transpose(0, 4, 1, 2, 3)),
+        torch.from_numpy(wgt),
+        stride=1,
+        padding=1,
+        groups=c,
+    ).numpy().transpose(0, 2, 3, 4, 1)
+    got = ops.conv3d(
+        jnp.asarray(x), jnp.asarray(wgt.transpose(2, 3, 4, 1, 0)), stride=1, padding=1, groups=c
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
