@@ -1,0 +1,448 @@
+"""UNet building blocks + attention blocks (flax.linen, channels-last).
+
+Re-implements the block zoo of ``model/Unet_3Dblock.py`` and
+``model/trans_block.py`` TPU-first:
+
+* activations are ``(N, H, W, D, C)`` so convs tile onto the MXU;
+* attention token order is (D, H, W) flattened, matching the reference's
+  permute-then-flatten (Unet_3Dblock.py:481-482);
+* submodule names mirror the reference's attribute paths (list index ``i``
+  becomes suffix ``_i``) so reference torch checkpoints convert 1:1 via
+  :mod:`lintransunet_tpu.compat.torch_import`.
+
+Parameters are float32; the ``dtype`` field selects the compute dtype
+(bfloat16 in production — the TPU analogue of the reference's AMP autocast).
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lintransunet_tpu import ops
+
+Array = jnp.ndarray
+
+
+def _conv(features: int, kernel: int, stride=1, padding=0, groups: int = 1,
+          dtype=None, name: str = None) -> nn.Conv:
+    """nn.Conv configured for torch-compatible explicit symmetric padding."""
+    if isinstance(stride, int):
+        stride = (stride,) * 3
+    if isinstance(padding, int):
+        padding = ((padding, padding),) * 3
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel,) * 3,
+        strides=stride,
+        padding=padding,
+        feature_group_count=groups,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def _gelu(x: Array) -> Array:
+    # torch F.gelu default is the exact erf formulation.
+    return nn.gelu(x, approximate=False)
+
+
+class ConvPosEmbed3d(nn.Module):
+    """Depthwise-conv positional encoding generator (PEG).
+
+    Mirrors ``Conv3dPosEmbedding`` (trans_block.py:70-96): residual depthwise
+    3x3x3 conv followed by channel dropout (torch Dropout3d).
+    """
+
+    dim: int
+    dropout: float
+    emb_kernel: int = 3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        pos = _conv(self.dim, self.emb_kernel, padding=self.emb_kernel // 2,
+                    groups=self.dim, dtype=self.dtype, name="proj")(x)
+        x = x + pos
+        return nn.Dropout(self.dropout, broadcast_dims=(1, 2, 3))(
+            x, deterministic=not train)
+
+
+class MultiheadLinearAttention(nn.Module):
+    """Multi-head O(N) linear attention (``MultihAttention``, trans_block.py:127-166).
+
+    Four shared Dense projections; heads split to (B, h, N, d_k); the
+    linear-attention core from :mod:`lintransunet_tpu.ops.attention`.
+    Note: in the reference, attention dropout only touches the *unused*
+    ``score_softmax`` return (trans_block.py:62-67), so it has no effect on
+    the output — faithfully, no dropout is applied here either.
+    """
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, q: Array, k: Array, v: Array,
+                 src_mask: Optional[Array] = None, train: bool = False) -> Array:
+        assert self.d_model % self.nhead == 0
+        d_k = self.d_model // self.nhead
+        n_batch = q.shape[0]
+        dense = lambda i: nn.Dense(self.d_model, dtype=self.dtype,
+                                   param_dtype=jnp.float32, name=f"linears_{i}")
+
+        def split(t):
+            return t.reshape(n_batch, -1, self.nhead, d_k).transpose(0, 2, 1, 3)
+
+        q, k, v = (split(dense(i)(t)) for i, t in enumerate((q, k, v)))
+        if src_mask is not None:
+            src_mask = src_mask[:, None]  # (B, 1, N, 1)
+        x = ops.linear_attention(q, k, v, mask=src_mask)
+        x = x.transpose(0, 2, 1, 3).reshape(n_batch, -1, self.d_model)
+        return dense(3)(x)
+
+
+class SelfAttentionLayer(nn.Module):
+    """Post-LN transformer encoder layer (trans_block.py:169-211).
+
+    FFN is Dense -> GELU(exact) -> dropout -> Dense; residuals are wrapped by
+    LayerNorm with eps=1e-6 *after* the add (post-LN).
+    """
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, src_mask: Optional[Array] = None,
+                 train: bool = False) -> Array:
+        attn = MultiheadLinearAttention(
+            self.d_model, self.nhead, self.dropout, dtype=self.dtype,
+            name="self_attn")(x, x, x, src_mask=src_mask, train=train)
+        x = x + nn.Dropout(self.dropout)(attn, deterministic=not train)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="layer_norm1")(x)
+
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="linear1")(x)
+        h = nn.Dropout(self.dropout)(_gelu(h), deterministic=not train)
+        h = nn.Dense(self.d_model, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="linear2")(h)
+        x = x + nn.Dropout(self.dropout)(h, deterministic=not train)
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="layer_norm2")(x)
+
+
+class TransEncoder(nn.Module):
+    """N-layer stack of SelfAttentionLayer (trans_block.py:214-232)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    n_layers: int
+    dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None,
+                 train: bool = False) -> Array:
+        for i in range(self.n_layers):
+            x = SelfAttentionLayer(
+                self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                dtype=self.dtype, name=f"layers_{i}")(x, mask, train=train)
+        return x
+
+
+def _to_tokens_dhw(x: Array) -> Tuple[Array, Tuple[int, int, int]]:
+    """(N, H, W, D, C) -> (N, D*H*W, C) in the reference's (D, H, W) order."""
+    n, h, w, d, c = x.shape
+    t = x.transpose(0, 3, 1, 2, 4).reshape(n, d * h * w, c)
+    return t, (h, w, d)
+
+
+def _from_tokens_dhw(t: Array, hwd: Tuple[int, int, int]) -> Array:
+    h, w, d = hwd
+    n, _, c = t.shape
+    return t.reshape(n, d, h, w, c).transpose(0, 2, 3, 1, 4)
+
+
+def _peg_on_tokens(tokens: Array, hwd: Tuple[int, int, int], peg,
+                   train: bool) -> Array:
+    """Apply a PEG to (D, H, W)-ordered tokens.
+
+    The reference re-injects its positional conv on a tensor whose spatial
+    order is (D, H, W) (Unet_3Dblock.py:265-270, 487-490), so the depthwise
+    kernel's leading dim convolves depth. Tokens are d-major, so this is a
+    pure reshape — no transpose needed.
+    """
+    h, w, d = hwd
+    n, _, c = tokens.shape
+    grid = tokens.reshape(n, d, h, w, c)
+    grid = peg(grid, train=train)
+    return grid.reshape(n, d * h * w, c)
+
+
+class PosAttention3DBlock(nn.Module):
+    """Token transformer over a 3D feature map, PEG re-injected after layer 0.
+
+    Mirrors ``PosAttention3DBlock`` (Unet_3Dblock.py:224-274). Only
+    ``pos_encoders_0`` is ever used in the reference loop, so only it is
+    materialised (the torch module clones N of them; the converter skips the
+    dead ones).
+    """
+
+    in_dim: int
+    d_model: int
+    nhead: int
+    dropout: float = 0.3
+    n_layers: int = 8
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None,
+                 train: bool = False) -> Array:
+        tokens, hwd = _to_tokens_dhw(x)
+        if mask is not None:
+            mask, _ = _to_tokens_dhw(mask)
+            mask = mask != 0
+        for i in range(self.n_layers):
+            tokens = SelfAttentionLayer(
+                self.d_model, self.nhead, 2 * self.d_model, self.dropout,
+                dtype=self.dtype, name=f"layers_{i}")(tokens, mask, train=train)
+            if i == 0:
+                peg = ConvPosEmbed3d(self.d_model, self.dropout,
+                                     dtype=self.dtype, name="pos_encoders_0")
+                tokens = _peg_on_tokens(tokens, hwd, peg, train)
+        return _from_tokens_dhw(tokens, hwd)
+
+
+class SpatialAttentionGate(nn.Module):
+    """Additive attention gate (``SpatialAttention3DBlock``, Unet_3Dblock.py:194-221).
+
+    psi(relu(Wx(skip) + Wg(up))) -> sigmoid map. All convs are 1x1x1;
+    InstanceNorm is affine-free so it contributes no parameters.
+    """
+
+    in_channel1: int
+    in_channel2: int
+    inter_channel: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, up: Array) -> Array:
+        xs = _conv(self.inter_channel, 1, dtype=self.dtype, name="W_x_0")(x)
+        xs = ops.instance_norm(xs)
+        gs = _conv(self.inter_channel, 1, dtype=self.dtype, name="W_g_0")(up)
+        gs = ops.instance_norm(gs)
+        a = nn.relu(xs + gs)
+        a = _conv(1, 1, dtype=self.dtype, name="psi_0")(a)
+        return nn.sigmoid(a)
+
+
+class DownBlock(nn.Module):
+    """Residual conv + strided-conv downsample (Unet_3Dblock.py:290-341).
+
+    Returns (downsampled, pre-downsample skip). Anisotropic strides supported
+    — the encoder halves depth only on alternating levels.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    stride: Tuple[int, int, int] = (2, 2, 2)
+    dropout: Optional[float] = None
+    is_res: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Tuple[Array, Array]:
+        k = self.kernel_size
+        y = _conv(self.in_channels, k, padding=k // 2, dtype=self.dtype,
+                  name="conv1")(x)
+        y = ops.leaky_relu(ops.instance_norm(y))
+        if self.is_res:
+            y = y + x
+        z = _conv(self.out_channels, k, stride=self.stride, padding=k // 2,
+                  dtype=self.dtype, name="conv2")(y)
+        z = ops.leaky_relu(ops.instance_norm(z))
+        if self.dropout is not None:
+            z = nn.Dropout(self.dropout)(z, deterministic=not train)
+        return z, y
+
+
+class UpBlock(nn.Module):
+    """Conv + skip-concat + conv merge (Unet_3Dblock.py:504-557).
+
+    Spatial upsampling happens *outside* this block (the decoder owns it).
+    Concat order is (x, skip) on the channel axis, matching the reference.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, skip: Array, train: bool = False) -> Array:
+        k = self.kernel_size
+        x = _conv(self.out_channels, k, padding=k // 2, dtype=self.dtype,
+                  name="conv1")(x)
+        x = ops.leaky_relu(ops.instance_norm(x))
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = _conv(self.out_channels, k, padding=k // 2, dtype=self.dtype,
+                  name="conv2")(x)
+        x = ops.leaky_relu(ops.instance_norm(x))
+        if self.dropout is not None:
+            x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        return x
+
+
+def _embed_channel_list(in_channels: int, out_channels: int, times: int,
+                        up: bool) -> Sequence[int]:
+    """Channel schedules of Down/UpEmbedBlock (Unet_3Dblock.py:362-363, 408-409)."""
+    if up:
+        chans = [out_channels // (2 ** i) if out_channels // (2 ** i) >= in_channels
+                 else out_channels for i in range(times + 1)]
+        chans[-1] = in_channels
+    else:
+        chans = [in_channels * (2 ** i) if in_channels * (2 ** i) <= out_channels
+                 else out_channels for i in range(times + 1)]
+        chans[-1] = out_channels
+    return chans
+
+
+class DownEmbedBlock(nn.Module):
+    """Strided-conv channel-doubling embed (Unet_3Dblock.py:343-385)."""
+
+    in_channels: int
+    out_channels: int
+    down_times: int
+    kernel_size: int = 3
+    stride: int = 2
+    dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        chans = _embed_channel_list(self.in_channels, self.out_channels,
+                                    self.down_times, up=False)
+        for i in range(self.down_times):
+            x = _conv(chans[i + 1], self.kernel_size, stride=self.stride,
+                      padding=1, dtype=self.dtype, name=f"module_list_{i}_0")(x)
+            x = ops.leaky_relu(ops.instance_norm(x))
+            if self.dropout is not None:
+                x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        return x
+
+
+class UpEmbedBlock(nn.Module):
+    """Nearest-upsample + conv inverse of DownEmbedBlock (Unet_3Dblock.py:388-432).
+
+    torch ``nn.Upsample(scale_factor=s)`` defaults to nearest mode.
+    """
+
+    in_channels: int
+    out_channels: int
+    down_times: int
+    kernel_size: int = 3
+    stride: int = 2
+    dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        chans = _embed_channel_list(self.in_channels, self.out_channels,
+                                    self.down_times, up=True)
+        for i in range(self.down_times):
+            x = ops.resize_nearest(x, self.stride)
+            x = _conv(chans[i + 1], self.kernel_size, padding=1,
+                      dtype=self.dtype, name=f"module_list_{i}_1")(x)
+            x = ops.leaky_relu(ops.instance_norm(x))
+            if self.dropout is not None:
+                x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        return x
+
+
+class EmbedAttention3DBlock(nn.Module):
+    """Down-embed -> N linear-attention layers -> up-embed (Unet_3Dblock.py:435-501).
+
+    The transformer applied to every warped ROI crop: stride-2 embed to
+    d_model, tokens flattened in (D, H, W) order, PEG re-injection after
+    layer 0, nearest-upsample decode back to in_dim channels.
+    """
+
+    in_dim: int
+    d_model: int
+    nhead: int
+    dropout: float = 0.3
+    n_layers: int = 8
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = DownEmbedBlock(self.in_dim, self.d_model, down_times=1,
+                           dropout=self.dropout, dtype=self.dtype,
+                           name="down_embed")(x, train=train)
+        tokens, hwd = _to_tokens_dhw(x)
+        for i in range(self.n_layers):
+            tokens = SelfAttentionLayer(
+                self.d_model, self.nhead, 2 * self.d_model, self.dropout,
+                dtype=self.dtype, name=f"layers_{i}")(tokens, train=train)
+            if i == 0:
+                peg = ConvPosEmbed3d(self.d_model, self.dropout,
+                                     dtype=self.dtype, name="pos_encoder")
+                tokens = _peg_on_tokens(tokens, hwd, peg, train)
+        x = _from_tokens_dhw(tokens, hwd)
+        return UpEmbedBlock(self.in_dim, self.d_model, down_times=1,
+                            dropout=self.dropout, dtype=self.dtype,
+                            name="up_embed")(x, train=train)
+
+
+class Attention3DBlock(nn.Module):
+    """PEG + flatten (H, W, D order) + TransEncoder (Unet_3Dblock.py:154-191).
+
+    Used only by dead reference paths; kept for capability parity.
+    """
+
+    in_dim: int
+    d_model: int
+    nhead: int
+    dropout: float = 0.3
+    n_layers: int = 8
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None,
+                 train: bool = False) -> Array:
+        n, h, w, d, c = x.shape
+        x = ConvPosEmbed3d(self.d_model, self.dropout, dtype=self.dtype,
+                           name="pos_encode")(x, train=train)
+        tokens = x.reshape(n, h * w * d, c)
+        if mask is not None:
+            mask = mask.reshape(n, h * w * d, -1) != 0
+        tokens = TransEncoder(self.d_model, self.nhead, 2 * self.d_model,
+                              self.n_layers, self.dropout, dtype=self.dtype,
+                              name="transformer")(tokens, mask, train=train)
+        return tokens.reshape(n, h, w, d, c)
+
+
+class SolidBlock(nn.Module):
+    """MLP solid-ness head (Unet_3Dblock.py:277-288); unused by live paths."""
+
+    num_layer: int
+    inter_num: int = 12
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        h = nn.Dense(self.inter_num, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="solid_layer_0")(x)
+        h = nn.BatchNorm(use_running_average=not train,
+                         name="solid_layer_1")(h)
+        h = nn.relu(h)
+        h = nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="solid_layer_3")(h)
+        return nn.sigmoid(h)

@@ -1,0 +1,187 @@
+"""Model zoo + registry (mirrors model/trans_3DUnet.py:1-222).
+
+Same five registry names as the reference's ``Model_Dict``
+(trans_3DUnet.py:207-213). Each model is a flax module; training-mode
+forwards return ``(probabilities, mask_list)`` for the flagship and plain
+probabilities otherwise; eval-mode forwards return a one-hot argmax for
+MaskTransUnet (trans_3DUnet.py:196-202).
+"""
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lintransunet_tpu.models.bridges import Bridge, ConnectBridge
+from lintransunet_tpu.models.unet import Decoder, Encoder, ROIDecoder
+
+Array = jnp.ndarray
+
+
+def one_hot_argmax(out: Array) -> Array:
+    """Channel argmax -> one-hot, the eval branch of trans_3DUnet.py:199-202."""
+    idx = jnp.argmax(out, axis=-1)
+    return jax.nn.one_hot(idx, out.shape[-1], dtype=out.dtype)
+
+
+class TraditionUnet(nn.Module):
+    """Plain 3D UNet (trans_3DUnet.py:7-35)."""
+
+    num_layers: Sequence[int]
+    dim_input: int
+    dim_output: int
+    kernel_size: int = 3
+    dropout: float = 0.3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        bottle, skips = Encoder(self.num_layers, self.dim_input,
+                                self.kernel_size, self.dropout,
+                                dtype=self.dtype, name="encode")(x, train=train)
+        return Decoder(self.num_layers, self.dim_output, self.kernel_size,
+                       self.dropout, dtype=self.dtype,
+                       name="decode")(bottle, skips, train=train)
+
+
+class BottleTransUnet(nn.Module):
+    """UNet + bottleneck transformer (trans_3DUnet.py:38-68)."""
+
+    num_layers: Sequence[int]
+    dim_input: int
+    dim_output: int
+    kernel_size: int = 3
+    dropout: float = 0.3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        bottle, skips = Encoder(self.num_layers, self.dim_input,
+                                self.kernel_size, self.dropout,
+                                dtype=self.dtype, name="encode")(x, train=train)
+        bottle = ConnectBridge(d_model=self.num_layers[-1], nhead=8,
+                               dropout=self.dropout, n_layers=4,
+                               dtype=self.dtype,
+                               name="connect_bridge")(bottle, train=train)
+        return Decoder(self.num_layers, self.dim_output, self.kernel_size,
+                       self.dropout, dtype=self.dtype,
+                       name="decode")(bottle, skips, train=train)
+
+
+class SkipTransUnet(nn.Module):
+    """Per-skip bottleneck transformers (trans_3DUnet.py:71-111).
+
+    Faithful quirk: the reference computes transformed skips into
+    ``inter_block_list`` but then decodes with the *raw* skips
+    (trans_3DUnet.py:102-111) — dead compute. We keep the transformed-skip
+    modules and decode with raw skips for checkpoint/behaviour parity.
+    """
+
+    num_layers: Sequence[int]
+    dim_input: int
+    dim_output: int
+    kernel_size: int = 3
+    dropout: float = 0.3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        bottle, skips = Encoder(self.num_layers, self.dim_input,
+                                self.kernel_size, self.dropout,
+                                dtype=self.dtype, name="encode")(x, train=train)
+        n = len(self.num_layers)
+        connect_bottle = bottle
+        for i in range(n):
+            bridge = ConnectBridge(d_model=self.num_layers[i], nhead=8,
+                                   dropout=self.dropout, n_layers=4,
+                                   dtype=self.dtype,
+                                   name=f"connect_bridge_list_{i}")
+            if i != n - 1:
+                _ = bridge(skips[i], train=train)  # dead compute, kept faithful
+            else:
+                connect_bottle = bridge(bottle, train=train)
+        return Decoder(self.num_layers, self.dim_output, self.kernel_size,
+                       self.dropout, dtype=self.dtype,
+                       name="decode")(connect_bottle, skips, train=train)
+
+
+class MaskSkipTransUnet(nn.Module):
+    """Skip transformers gated by predicted masks (trans_3DUnet.py:114-147).
+
+    The reference path is broken at construction (SURVEY.md 2a#14); this is
+    the fixed-and-flagged build on top of the repaired ``Bridge``.
+    """
+
+    num_layers: Sequence[int]
+    dim_input: int
+    dim_output: int
+    kernel_size: int = 3
+    dropout: float = 0.3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False):
+        bottle, skips = Encoder(self.num_layers, self.dim_input,
+                                self.kernel_size, self.dropout,
+                                dtype=self.dtype, name="encode")(x, train=train)
+        bottle, trans_skips, mask_list = Bridge(
+            num_layers=tuple(self.num_layers), nhead_lens=16,
+            dtype=self.dtype, name="connect_bridge")(bottle, skips, train=train)
+        out = Decoder(self.num_layers, self.dim_output, self.kernel_size,
+                      self.dropout, dtype=self.dtype,
+                      name="decode")(bottle, trans_skips, train=train)
+        return out, mask_list
+
+
+class MaskTransUnet(nn.Module):
+    """The flagship model (trans_3DUnet.py:150-204): Encoder -> ROIDecoder.
+
+    train=True returns (out, mask_list); train=False returns the one-hot
+    argmax of the channel softmax, as the reference eval branch does.
+    """
+
+    num_layers: Sequence[int]
+    roi_size_list: Sequence[int]
+    is_roi_list: Sequence[bool]
+    dim_input: int
+    dim_output: int
+    kernel_size: int = 3
+    dropout: float = 0.3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False, return_aux=None):
+        """``train`` gates dropout; ``return_aux`` (default: train) selects
+        the (out, mask_list) train branch vs the one-hot-argmax eval branch,
+        so the train branch can be evaluated deterministically."""
+        if return_aux is None:
+            return_aux = train
+        bottle, skips = Encoder(self.num_layers, self.dim_input,
+                                self.kernel_size, self.dropout,
+                                dtype=self.dtype, name="encode")(x, train=train)
+        out, mask_list = ROIDecoder(
+            num_layers=self.num_layers,
+            roi_size_list=self.roi_size_list,
+            is_roi_list=self.is_roi_list,
+            dim_output=self.dim_output,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="decode")(bottle, skips, train=train)
+        if return_aux:
+            return out, mask_list
+        return one_hot_argmax(out)
+
+
+Model_Dict = {
+    "TraditionUnet": TraditionUnet,
+    "BottleTransUnet": BottleTransUnet,
+    "SkipTransUnet": SkipTransUnet,
+    "MaskSkipTransUnet": MaskSkipTransUnet,
+    "MaskTransUnet": MaskTransUnet,
+}
+
+
+def get_model_dict(name: str):
+    """Registry lookup, same API as trans_3DUnet.py:215-222."""
+    return Model_Dict[name]
