@@ -1,0 +1,104 @@
+"""Headline benchmark: sliding-window CT inference throughput.
+
+Measures the BASELINE.json metric — 96^3-patch-equivalents/sec/chip of
+sliding-window inference with the flagship MaskTransUnet (bf16), using the
+reference eval geometry: 512x512x64 windows, overlap 0.6, constant blending
+(utils/utils_3D_embed_full.py:135-148). Patch-equivalents = processed window
+voxels / 96^3, the standard way to normalise window sizes to the target
+metric.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "patches/sec/chip", "vs_baseline": N}
+vs_baseline is value / 500 (the north-star target).
+
+--quick runs a tiny CPU-safe configuration for smoke testing.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="tiny CPU-safe smoke configuration")
+    parser.add_argument("--volume_depth", type=int, default=144)
+    parser.add_argument("--runs", type=int, default=3)
+    parser.add_argument("--sw_batch", type=int, default=1)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lintransunet_tpu.engine import SlidingWindowRunner, make_eval_forward
+    from lintransunet_tpu.models import MaskTransUnet
+
+    if args.quick:
+        model = MaskTransUnet(
+            num_layers=(8, 16, 32, 32, 64), roi_size_list=(16, 12, 8, 6, 4),
+            is_roi_list=(False, True, True, True, True), dim_input=1,
+            dim_output=2, dtype=jnp.bfloat16)
+        vol_shape = (1, 64, 64, 24, 1)
+        roi = (64, 64, 8)
+    else:
+        model = MaskTransUnet(
+            num_layers=(16, 32, 64, 128, 256),
+            roi_size_list=(100, 65, 40, 25, 10),
+            is_roi_list=(False, True, True, True, True),
+            dim_input=1, dim_output=2, dtype=jnp.bfloat16)
+        vol_shape = (1, 512, 512, args.volume_depth, 1)
+        roi = (512, 512, 64)
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    rng = np.random.default_rng(0)
+    init_patch = jnp.zeros((1,) + roi + (1,), jnp.bfloat16)
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), init_patch, train=False))()["params"]
+
+    forward = make_eval_forward(model)
+    predictor = lambda x: forward(params, x)
+    runner = SlidingWindowRunner(
+        predictor, roi, args.sw_batch, overlap=0.6, mode="constant",
+        depth_bucket=roi[2])
+
+    volume = jnp.asarray(
+        rng.standard_normal(vol_shape).astype(np.float32)).astype(jnp.bfloat16)
+
+    # Window count for the throughput denominator (after depth bucketing).
+    from lintransunet_tpu.engine.sliding_window import dense_window_starts
+
+    d = vol_shape[3]
+    pad_d = (-d) % roi[2]
+    padded_spatial = (vol_shape[1], vol_shape[2], d + pad_d)
+    n_windows = dense_window_starts(padded_spatial, roi, 0.6).shape[0]
+    voxels = n_windows * roi[0] * roi[1] * roi[2] * vol_shape[0]
+    patch_equiv = voxels / 96 ** 3
+
+    out = runner(volume)  # compile + warmup
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        out = runner(volume)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    value = patch_equiv / best
+
+    print(f"windows={n_windows} patch_equiv={patch_equiv:.1f} "
+          f"times={[f'{t:.3f}' for t in times]}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "96^3 patches/sec/chip sliding-window CT inference "
+                  "(MaskTransUnet bf16, 512x512x64 windows, overlap 0.6)",
+        "value": round(value, 2),
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(value / 500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

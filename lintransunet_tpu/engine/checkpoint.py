@@ -1,0 +1,43 @@
+"""Full-train-state checkpointing (orbax-backed).
+
+Upgrades the reference's bare ``torch.save(state_dict)``
+(utils/utils_3D_embed_full.py:171-175, train3D.py:262-291): the entire
+train-state pytree (params, optimiser state, step, schedules) is saved, so
+resume continues the optimiser and LR schedule instead of restarting them
+(the reference loses both, SURVEY.md section 5.4).
+"""
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(path: str, state: Any, aux: Optional[dict] = None) -> None:
+    """Save a pytree (and optional small aux metadata dict) to ``path``."""
+    path = os.path.abspath(path)
+    ckpt = ocp.PyTreeCheckpointer()
+    payload = {"state": state}
+    if aux is not None:
+        payload["aux"] = aux
+    ckpt.save(path, payload, force=True)
+
+
+def restore_checkpoint(path: str, target_state: Any = None) -> dict:
+    """Restore; pass ``target_state`` to get proper array types/sharding."""
+    path = os.path.abspath(path)
+    ckpt = ocp.PyTreeCheckpointer()
+    if target_state is not None:
+        return ckpt.restore(path, item={"state": target_state, "aux": None})
+    return ckpt.restore(path)
+
+
+def save_params(path: str, params: Any) -> None:
+    """Params-only artifact (the analogue of the reference's temp_model.pt)."""
+    save_checkpoint(path, jax.device_get(params))
+
+
+def restore_params(path: str, target: Any = None) -> Any:
+    restored = restore_checkpoint(path, target)
+    return restored["state"]

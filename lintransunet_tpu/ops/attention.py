@@ -24,6 +24,11 @@ import jax
 import jax.numpy as jnp
 
 
+def _precision(dtype):
+    """'highest' for f32 parity; native fast path for bf16 (see ops.resample)."""
+    return "highest" if dtype == jnp.float32 else None
+
+
 def _softmax_f32(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jax.nn.softmax(x.astype(jnp.float32), axis=axis).astype(x.dtype)
 
@@ -49,8 +54,9 @@ def linear_attention(
         value = jnp.where(mask, value, jnp.zeros((), value.dtype))
     k = _softmax_f32(key, axis=-2)
     # context: (B, H, d_k, d_v) — the O(d^2) aggregation.
-    context = jnp.einsum("bhnd,bhne->bhde", k, value, precision="highest", optimize=True)
-    return jnp.einsum("bhnd,bhde->bhne", q, context, precision="highest", optimize=True)
+    prec = _precision(value.dtype)
+    context = jnp.einsum("bhnd,bhne->bhde", k, value, precision=prec, optimize=True)
+    return jnp.einsum("bhnd,bhde->bhne", q, context, precision=prec, optimize=True)
 
 
 def softmax_attention(
@@ -64,8 +70,9 @@ def softmax_attention(
     Kept for capability parity; scores masked with -1e9 where mask == 0.
     """
     d_k = query.shape[-1]
-    scores = jnp.einsum("bhnd,bhmd->bhnm", query, key, precision="highest", optimize=True) / math.sqrt(d_k)
+    prec = _precision(query.dtype)
+    scores = jnp.einsum("bhnd,bhmd->bhnm", query, key, precision=prec, optimize=True) / math.sqrt(d_k)
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.asarray(-1e9, scores.dtype))
     probs = _softmax_f32(scores, axis=-1)
-    return jnp.einsum("bhnm,bhmd->bhnd", probs, value, precision="highest", optimize=True)
+    return jnp.einsum("bhnm,bhmd->bhnd", probs, value, precision=prec, optimize=True)

@@ -14,6 +14,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _precision(dtype):
+    """'highest' for f32 parity; default (fast native) for bf16 compute.
+
+    On TPU, f32 matmuls default to bf16-precision passes, which breaks
+    parity with the CPU/torch oracle; 'highest' restores true f32. For bf16
+    inputs the default path is already the native MXU mode — forcing
+    'highest' there would trigger multi-pass emulation for nothing.
+    """
+    return "highest" if dtype == jnp.float32 else None
+
+
 def transfer_index(x0, x1, h, roi_size: int, eval_roi_size: int) -> jnp.ndarray:
     """Forward fisheye grid: full-image coords sampled for each ROI pixel.
 
@@ -80,8 +91,9 @@ def separable_grid_sample_2d(
     MXU matmuls contracting H then W.
     """
     dt = x.dtype
-    t = jnp.einsum("nih,nhwdc->niwdc", wx.astype(dt), x, precision="highest", optimize=True)
-    return jnp.einsum("njw,niwdc->nijdc", wy.astype(dt), t, precision="highest", optimize=True)
+    prec = _precision(dt)
+    t = jnp.einsum("nih,nhwdc->niwdc", wx.astype(dt), x, precision=prec, optimize=True)
+    return jnp.einsum("njw,niwdc->nijdc", wy.astype(dt), t, precision=prec, optimize=True)
 
 
 def _linear_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
@@ -110,13 +122,13 @@ def resize_linear_align_corners(x: jnp.ndarray, scale) -> jnp.ndarray:
     dt = x.dtype
     if oh != h:
         m = jnp.asarray(_linear_resize_matrix(h, oh), dt)
-        x = jnp.einsum("oh,nhwdc->nowdc", m, x, precision="highest", optimize=True)
+        x = jnp.einsum("oh,nhwdc->nowdc", m, x, precision=_precision(dt), optimize=True)
     if ow != w:
         m = jnp.asarray(_linear_resize_matrix(w, ow), dt)
-        x = jnp.einsum("ow,nhwdc->nhodc", m, x, precision="highest", optimize=True)
+        x = jnp.einsum("ow,nhwdc->nhodc", m, x, precision=_precision(dt), optimize=True)
     if od != d:
         m = jnp.asarray(_linear_resize_matrix(d, od), dt)
-        x = jnp.einsum("od,nhwdc->nhwoc", m, x, precision="highest", optimize=True)
+        x = jnp.einsum("od,nhwdc->nhwoc", m, x, precision=_precision(dt), optimize=True)
     return x
 
 

@@ -1,0 +1,195 @@
+"""Engine tests: train step, label pyramid, sliding window, checkpoint, LR."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lintransunet_tpu import engine
+from lintransunet_tpu.losses import binary as bin_losses
+from lintransunet_tpu.models import MaskTransUnet
+
+# 3-level model: engine mechanics don't need the full 5-level geometry and
+# CPU compiles of the 5-level ROI decoder dominate test wall-clock.
+SMALL = dict(
+    num_layers=(8, 16, 32),
+    roi_size_list=(8, 6, 4),
+    is_roi_list=(False, True, True),
+    dim_input=1,
+    dim_output=2,
+)
+
+
+def _criterion_stack():
+    # get_criterion_list shape (train3D.py:139-155): CE+BalanceDice low
+    # levels, CE+DiceClass for the top two (3-level variant here).
+    lows = [bin_losses.get_criterions(["CrossEntroLoss", "BalanceDiceLoss"])]
+    mid = bin_losses.get_criterions(["CrossEntroLoss", "DiceClassLoss"])
+    top = bin_losses.get_criterions(["CrossEntroLoss", "DiceClassLoss"])
+    return lows + [mid, top]
+
+
+@pytest.fixture(scope="module")
+def model_and_state():
+    model = MaskTransUnet(**SMALL)
+    x = jnp.zeros((2, 16, 16, 4, 1), jnp.float32)
+    state = engine.create_train_state(
+        model, jax.random.PRNGKey(0), x, learning_rate=1e-3, step_times=2)
+    return model, state
+
+
+def test_train_step_descends(model_and_state, rng):
+    model, state = model_and_state
+    # donate=False: the module-scoped fixture state is reused across tests
+    step = engine.make_train_step(model, _criterion_stack(), donate=False)
+    images = jnp.asarray(rng.standard_normal((2, 16, 16, 4, 1)).astype(np.float32))
+    labels = jnp.asarray((rng.random((2, 16, 16, 4)) > 0.8).astype(np.int32))
+    dyn_w = jnp.asarray([0.1, 0.1, 1.0], jnp.float32)
+
+    losses = []
+    for i in range(6):
+        state, loss, logs = step(state, images, labels, dyn_w,
+                                 jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # overfitting a fixed batch must reduce the loss
+    assert losses[-1] < losses[0], losses
+    assert any("DiceClassLoss layer2" in k for k in logs)
+
+
+def test_dynamic_weight_changes_no_recompile(model_and_state, rng):
+    model, state = model_and_state
+    step = engine.make_train_step(model, _criterion_stack(), donate=False)
+    images = jnp.asarray(rng.standard_normal((2, 16, 16, 4, 1)).astype(np.float32))
+    labels = jnp.zeros((2, 16, 16, 4), jnp.int32)
+    w1 = jnp.asarray([0.1, 0.1, 1.0], jnp.float32)
+    w2 = jnp.asarray([0.3, 0.4, 1.0], jnp.float32)
+    _, l1, _ = step(state, images, labels, w1, jax.random.PRNGKey(0))
+    _, l2, _ = step(state, images, labels, w2, jax.random.PRNGKey(0))
+    assert step._cache_size() == 1
+    assert float(l1) != float(l2)
+
+
+def test_grad_accumulation_every_k(model_and_state, rng):
+    model, state = model_and_state
+    step = engine.make_train_step(model, _criterion_stack(), donate=False)
+    images = jnp.asarray(rng.standard_normal((2, 16, 16, 4, 1)).astype(np.float32))
+    labels = jnp.zeros((2, 16, 16, 4), jnp.int32)
+    dyn_w = jnp.ones((3,), jnp.float32)
+    p0 = jax.tree.leaves(state.params)[0]
+    state1, _, _ = step(state, images, labels, dyn_w, jax.random.PRNGKey(0))
+    # after 1 of 2 micro-steps params must be unchanged (accumulating)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(state1.params)[0]), np.asarray(p0))
+    state2, _, _ = step(state1, images, labels, dyn_w, jax.random.PRNGKey(1))
+    assert np.abs(np.asarray(jax.tree.leaves(state2.params)[0]) -
+                  np.asarray(p0)).max() > 0
+
+
+def test_label_pyramid_matches_reference_schedule(rng):
+    """The pooled-label pyramid must land on the decoder's mask resolutions
+    (5-level geometry, utils_3D_embed_full.py:64,73-76)."""
+    labels = jnp.asarray((rng.random((1, 64, 64, 8)) > 0.5).astype(np.int32))
+    shapes = []
+    temp = engine.train.max_pool3d(
+        labels.astype(jnp.float32)[..., None], (2, 2, 1), (2, 2, 1))
+    for k in range(1, 5):
+        shapes.append(temp.shape[1:4])
+        if k < 4:
+            kern = engine.train.label_pyramid_kernel(k)
+            temp = engine.train.max_pool3d(temp, kern, kern)
+    # mask_list is coarse->fine: [-1]=finest; compare reversed
+    assert shapes == [(32, 32, 8), (16, 16, 8), (8, 8, 4), (4, 4, 4)]
+
+
+def test_sliding_window_equals_direct_when_single_window(rng):
+    vol = jnp.asarray(rng.standard_normal((1, 8, 8, 4, 1)).astype(np.float32))
+    predictor = lambda x: jnp.concatenate([x * 2, x * -1], axis=-1)
+    out = engine.sliding_window_inference(vol, (8, 8, 4), 2, predictor)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(predictor(vol)),
+                               rtol=1e-6)
+
+
+def test_sliding_window_overlap_blending(rng):
+    # identity predictor: blended overlapping windows must reconstruct input
+    vol = jnp.asarray(rng.standard_normal((2, 8, 8, 10, 3)).astype(np.float32))
+    out = engine.sliding_window_inference(
+        vol, (8, 8, 4), 2, lambda x: x, overlap=0.6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-5)
+
+
+def test_sliding_window_grid_matches_monai_semantics():
+    # overlap 0.6, roi 64, dim 100: interval=int(64*0.4)=25,
+    # count=ceil(36/25)+1=3, last clipped to 36
+    assert engine.sliding_window.window_starts_1d(100, 64, 25) == [0, 25, 36]
+    assert engine.sliding_window.scan_interval((100,), (64,), 0.6) == (25,)
+    assert engine.sliding_window.scan_interval((64,), (64,), 0.6) == (0,)
+
+
+def test_sliding_window_pads_small_volumes(rng):
+    vol = jnp.asarray(rng.standard_normal((1, 8, 8, 3, 1)).astype(np.float32))
+    out = engine.sliding_window_inference(vol, (8, 8, 4), 1, lambda x: x)
+    assert out.shape == (1, 8, 8, 3, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-6)
+
+
+def test_runner_depth_bucketing(rng):
+    runner = engine.SlidingWindowRunner(lambda x: x, (8, 8, 4), 2,
+                                        depth_bucket=4)
+    for d in (5, 7):
+        vol = jnp.asarray(rng.standard_normal((1, 8, 8, d, 2)).astype(np.float32))
+        out = runner(vol)
+        assert out.shape == vol.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-6)
+    assert len(runner._cache) == 1  # both depths bucketed to 8
+
+
+def test_checkpoint_roundtrip(tmp_path, model_and_state):
+    model, state = model_and_state
+    path = str(tmp_path / "ckpt")
+    engine.save_checkpoint(path, {"params": state.params, "step": 3})
+    restored = engine.restore_checkpoint(path)
+    got = restored["state"]["params"]
+    ref_leaves = jax.tree.leaves(state.params)
+    got_leaves = jax.tree.leaves(got)
+    assert len(ref_leaves) == len(got_leaves)
+    np.testing.assert_allclose(np.asarray(got_leaves[0]),
+                               np.asarray(ref_leaves[0]))
+
+
+def test_plateau_scheduler_matches_torch():
+    import torch
+
+    lin = torch.nn.Linear(1, 1)
+    opt = torch.optim.AdamW(lin.parameters(), lr=1e-4)
+    sch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.8, patience=5, threshold=1e-2, cooldown=1,
+        min_lr=1e-7)
+    ours = engine.ReduceLROnPlateau(lr=1e-4, factor=0.8, patience=5,
+                                    threshold=1e-2, cooldown=1, min_lr=1e-7)
+    rng = np.random.default_rng(0)
+    metrics = list(rng.random(40) * 2) + [1.5] * 20
+    for m in metrics:
+        sch.step(m)
+        ours.step(m)
+        assert ours.lr == pytest.approx(opt.param_groups[0]["lr"], rel=1e-6), m
+
+
+def test_set_learning_rate(model_and_state):
+    _, state = model_and_state
+    state = engine.set_learning_rate(state, 5e-5)
+    assert engine.get_learning_rate(state) == pytest.approx(5e-5)
+
+
+def test_weight_schedule_matches_reference():
+    # get_weight (utils_3D_embed_full.py:16-19)
+    for t in (-3, 0, 5, 100):
+        ref = min(0.1 + 0.05 * np.exp(max(t, 0) / (5 * 12)), 2.0)
+        assert engine.get_weight(t, 12, 0.05, 0.1, 2.0) == pytest.approx(ref)
+    table = engine.get_dynamic_weight(
+        epochs=20, T=12, warmup_step=10,
+        weight_list=[0.05, 1.0], initial_weight=[0.1, 1.0],
+        final_weight=[2.0, 1.0])
+    assert len(table) == 20 and len(table[0]) == 2
+    assert table[0][0] == table[10][0]  # warmup holds t=0
+    assert table[19][0] > table[10][0]
