@@ -59,10 +59,9 @@ def main():
         jax.random.PRNGKey(0), init_patch, train=False))()["params"]
 
     forward = make_eval_forward(model)
-    predictor = lambda x: forward(params, x)
     runner = SlidingWindowRunner(
-        predictor, roi, args.sw_batch, overlap=0.6, mode="constant",
-        depth_bucket=roi[2])
+        lambda x, p: forward(p, x), roi, args.sw_batch, overlap=0.6,
+        mode="constant", depth_bucket=roi[2])
 
     volume = jnp.asarray(
         rng.standard_normal(vol_shape).astype(np.float32)).astype(jnp.bfloat16)
@@ -77,13 +76,13 @@ def main():
     voxels = n_windows * roi[0] * roi[1] * roi[2] * vol_shape[0]
     patch_equiv = voxels / 96 ** 3
 
-    out = runner(volume)  # compile + warmup
+    out = runner(volume, params)  # compile + warmup
     jax.block_until_ready(out)
 
     times = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
-        out = runner(volume)
+        out = runner(volume, params)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     best = min(times)

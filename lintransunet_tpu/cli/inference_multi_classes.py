@@ -1,0 +1,130 @@
+"""Multi-class full-volume inference CLI (mirrors inference_multi_classes.py).
+
+Deltas vs the binary CLI, per the reference: 3 classes with one-hot labels
+(:131-137), round -> KeepLargestConnectedComponent(applied_labels=[1,2],
+independent=False, connectivity=3) post-processing (:104,148-151),
+background re-derivation p0 = 1 - p1 - p2 (:152), metric suite including
+Recall2/Precision2 (:57-59), argmax .npy export (:157-163).
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def get_parse():
+    from lintransunet_tpu.core.config import InferenceConfig, add_dataclass_args
+
+    cfg = InferenceConfig(criterion_list=(
+        "DiceClassLoss0", "DiceClassLoss", "DiceClassLoss2",
+        "Recall", "Precision", "Recall2", "Precision2"))
+    parser = argparse.ArgumentParser()
+    add_dataclass_args(parser, cfg)
+    parser.add_argument("--model_name", type=str, default="MaskTransUnet")
+    parser.add_argument("--num_layers",
+                        type=lambda s: tuple(int(x) for x in s.split(",")),
+                        default=(16, 32, 64, 128, 256))
+    parser.add_argument("--roi_size_list",
+                        type=lambda s: tuple(int(x) for x in s.split(",")),
+                        default=(100, 65, 40, 25, 10))
+    parser.add_argument("--is_roi_list",
+                        type=lambda s: tuple(x.lower() in ("1", "true")
+                                             for x in s.split(",")),
+                        default=(False, True, True, True, True))
+    parser.add_argument("--dim_input", type=int, default=1)
+    parser.add_argument("--dim_output", type=int, default=3)
+    parser.add_argument("--kernel_size", type=int, default=3)
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16")
+    parser.add_argument("--num_classes", type=int, default=3)
+    return parser.parse_args()
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from lintransunet_tpu import engine
+    from lintransunet_tpu.cli.common import build_model
+    from lintransunet_tpu.cli.postprocess import keep_largest_connected_component
+    from lintransunet_tpu.data import DataLoader, MultiClassEvaDataset
+    from lintransunet_tpu.data.split import load_fold
+    from lintransunet_tpu.losses import multiclass as loss_module
+    from lintransunet_tpu.losses.functional import one_hot
+
+    criterions = loss_module.get_criterions(list(args.criterion_list))
+    final_loss = [0.0] * len(criterions)
+    name_list = sorted(os.listdir(os.path.join(args.dir_data, "image")))
+    out_dict = {}
+
+    model = build_model(args)
+    eval_fwd = engine.make_eval_forward(model)
+    runner = engine.SlidingWindowRunner(
+        lambda x, params: eval_fwd(params, x),
+        roi_size=(args.roi_size, args.roi_size, args.depth_size),
+        sw_batch_size=args.sw_batch_size, overlap=args.overlap,
+        mode="constant", depth_bucket=32)
+
+    if args.is_save:
+        os.makedirs(args.saved_folder, exist_ok=True)
+
+    for fold_num in range(args.fold_nums):
+        _, test_ids = load_fold(args.split_json, fold_num)
+        test_ids = test_ids[:-1]
+        dataset = MultiClassEvaDataset(root=args.dir_data,
+                                       depth_size=args.depth_size, ids=test_ids)
+        loader = DataLoader(dataset, batch_size=args.batch_size,
+                            shuffle=False, num_workers=4)
+        params = engine.restore_params(os.path.join(
+            args.pretrained_dir, f"fold_{fold_num}", "temp_model"))
+
+        summary_patient_loss = []
+        total_loss = [0.0] * len(criterions)
+        n = 0
+        for i, (images, masks) in enumerate(loader):
+            name = name_list[test_ids[i]]
+            images = images.reshape((-1,) + images.shape[2:])
+            masks = masks.reshape((-1,) + masks.shape[2:]).astype(np.int32)
+            label = one_hot(
+                jnp.asarray(masks).reshape(masks.shape[0], -1),
+                args.num_classes).reshape(masks.shape + (args.num_classes,))
+
+            predict = np.asarray(runner(jnp.asarray(images), params))
+            # round -> keep largest CC over the class-1+2 union -> p0 rebuild
+            hard = np.rint(predict[0]).transpose(3, 0, 1, 2)  # (C, H, W, D)
+            hard = keep_largest_connected_component(
+                hard, applied_labels=(1, 2), independent=False, connectivity=3)
+            hard[0] = 1.0 - hard[1] - hard[2]
+            predict2 = jnp.asarray(hard.transpose(1, 2, 3, 0)[None])
+
+            losses = [float(fn(predict2, label)) for fn in criterions.values()]
+
+            if args.is_save:
+                out = np.argmax(np.asarray(predict2[0]), axis=-1)
+                out = out.transpose(2, 0, 1).astype(np.uint8)  # (D, H, W)
+                np.save(os.path.join(args.saved_folder,
+                                     "{:0>4}".format(name)), out)
+
+            for loss_name, value in zip(criterions, losses):
+                print(f"eval patient average {loss_name}", value)
+            summary_patient_loss.append(losses)
+            total_loss = [t + l for t, l in zip(total_loss, losses)]
+            n += 1
+
+        total_loss = [t / max(n, 1) for t in total_loss]
+        final_loss = [f + t for f, t in zip(final_loss, total_loss)]
+        for loss_name, value in zip(criterions, total_loss):
+            print(f"eval total average {loss_name} loss", value)
+        out_dict[f"patient_{fold_num}"] = summary_patient_loss
+        out_dict[f"summary_{fold_num}"] = total_loss
+
+    final_loss = [f / args.fold_nums for f in final_loss]
+    for loss_name, value in zip(criterions, final_loss):
+        print(f"eval final average {loss_name} loss", value)
+    with open("summary_4_fold.json", "w") as f:
+        json.dump(out_dict, f, indent=4)
+
+
+if __name__ == "__main__":
+    main(get_parse())

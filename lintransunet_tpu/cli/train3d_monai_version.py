@@ -1,0 +1,153 @@
+"""Cached-pipeline training CLI (mirrors train3D_monai_version.py:1-302).
+
+Uses the CachePanDataset (deterministic preprocessing cached in RAM at
+construction, random crops/flips/rot90 per access) and the MONAI-loop
+semantics: dict-style batches, ONE optimiser step per batch — no inner
+patient loop, no gradient accumulation (utils/utils_3D_monai.py:45-105).
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def get_parse():
+    from lintransunet_tpu.core.config import TrainConfig, add_dataclass_args
+
+    cfg = TrainConfig(
+        criterion_list=("CrossEntroLoss", "DiceClassLoss", "DiceClassLoss2"),
+        criterion_weight=(10.0, 1.0, 2.0),
+        plateau_factor=0.6,
+        plateau_patience=4,
+        num_classes=3,
+    )
+    parser = argparse.ArgumentParser()
+    add_dataclass_args(parser, cfg)
+    parser.add_argument("--model_name", type=str, default="MaskTransUnet")
+    parser.add_argument("--num_layers",
+                        type=lambda s: tuple(int(x) for x in s.split(",")),
+                        default=(16, 32, 64, 128, 256))
+    parser.add_argument("--roi_size_list",
+                        type=lambda s: tuple(int(x) for x in s.split(",")),
+                        default=(100, 65, 40, 25, 10))
+    parser.add_argument("--is_roi_list",
+                        type=lambda s: tuple(x.lower() in ("1", "true")
+                                             for x in s.split(",")),
+                        default=(False, True, True, True, True))
+    parser.add_argument("--dim_input", type=int, default=1)
+    parser.add_argument("--dim_output", type=int, default=3)
+    parser.add_argument("--kernel_size", type=int, default=3)
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16")
+    parser.add_argument("--image_crop", type=int, default=512)
+    return parser.parse_args()
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from lintransunet_tpu import engine
+    from lintransunet_tpu.cli.common import build_model, get_multi_criterion_list, run_dirs
+    from lintransunet_tpu.data import CachePanDataset, DataLoader, EvaPanDataset
+    from lintransunet_tpu.data.split import load_fold
+    from lintransunet_tpu.engine import loop
+    from lintransunet_tpu.losses import multiclass as loss_module
+
+    fold_num = args.fold_num
+    batch_size = args.batch_size * jax.device_count()
+
+    train_ids, test_ids = load_fold(args.split_json, fold_num)
+    train_ds = CachePanDataset(root=args.dir_data, depth_size=args.depth_size,
+                               num_samples=1, ids=train_ids,
+                               image_crop=args.image_crop, seed=args.seed)
+    test_ds = EvaPanDataset(root=args.dir_data, depth_size=args.depth_size,
+                            ids=test_ids)
+    train_dl = DataLoader(train_ds, batch_size=batch_size, shuffle=True,
+                          num_workers=8, seed=args.seed)
+    test_dl = DataLoader(test_ds, batch_size=1, shuffle=False, num_workers=2)
+
+    model = build_model(args)
+    sample = jnp.zeros(
+        (batch_size, args.image_crop, args.image_crop, args.depth_size, 1),
+        jnp.float32)
+    # One step per batch: no accumulation (utils_3D_monai.py:103-105).
+    state = engine.create_train_state(
+        model, jax.random.PRNGKey(args.seed), sample,
+        learning_rate=args.learning_rate, step_times=1)
+    if args.is_pretrained:
+        params = engine.restore_params(os.path.join(
+            args.pretrained_dir, f"fold_{fold_num}", "temp_model"))
+        state = state.replace(params=params)
+
+    criterions, eval_criterions = get_multi_criterion_list(
+        len(args.num_layers), args.criterion_list, loss_module)
+    step_fn = engine.make_train_step(
+        model, criterions, criterion_weight=list(args.criterion_weight),
+        num_classes=args.num_classes)
+
+    eval_fwd = engine.make_eval_forward(model)
+    runner = engine.SlidingWindowRunner(
+        lambda x, params: eval_fwd(params, x),
+        roi_size=(args.image_crop, args.image_crop, 64),
+        sw_batch_size=1, overlap=0.6, mode="constant", depth_bucket=32)
+
+    scheduler = engine.ReduceLROnPlateau(
+        lr=args.learning_rate, factor=args.plateau_factor,
+        patience=args.plateau_patience, threshold=args.plateau_threshold,
+        cooldown=args.plateau_cooldown, min_lr=args.min_lr)
+
+    log_dir, model_dir = run_dirs(args.log_dir, args.model_dir, fold_num)
+    writer = engine.MetricWriter(log_dir)
+
+    dynamic_weight_list = engine.get_dynamic_weight(
+        epochs=args.epochs, T=args.weight_T, warmup_step=args.warmup_step,
+        weight_list=args.weight_list, initial_weight=args.initial_weight,
+        final_weight=args.final_weight)
+
+    best_eval_loss = float("inf")
+    global_step = 0
+    jax_rng = jax.random.PRNGKey(args.seed + 1)
+
+    for epoch in range(args.epochs):
+        dynamic_weight = dynamic_weight_list[epoch]
+        if epoch < args.warmup_step:
+            dynamic_weight = dynamic_weight_list[0]
+        dyn_w = jnp.asarray(dynamic_weight, jnp.float32)
+
+        if epoch % args.eval_epoch == 0:
+            eval_loss, global_step = loop.eval_on_epoch(
+                runner, test_dl, eval_criterions, writer, global_step,
+                num_classes=args.num_classes,
+                selection_metrics=("DiceClassLoss", "DiceClassLoss2"),
+                runner_args=(state.params,))
+            state = engine.set_learning_rate(state, scheduler.step(eval_loss))
+            if eval_loss <= best_eval_loss:
+                best_eval_loss = eval_loss
+                engine.save_params(os.path.join(model_dir, "temp_model"),
+                                   state.params)
+                print("Best eval loss", eval_loss)
+
+        epoch_loss = 0.0
+        n = 0
+        for images, masks in train_dl:
+            images = images.reshape((-1,) + images.shape[2:])
+            masks = masks.reshape((-1,) + masks.shape[2:])
+            jax_rng, sub = jax.random.split(jax_rng)
+            state, loss, _ = step_fn(
+                state, jnp.asarray(images),
+                jnp.asarray(masks.astype(np.int32)), dyn_w, sub)
+            epoch_loss += float(loss)
+            n += 1
+        writer.add_scalar("train/total_loss", epoch_loss / max(n, 1),
+                          global_step)
+        print(f"epoch {epoch}: train loss {epoch_loss / max(n, 1):.5f}")
+        global_step += 1
+
+    engine.save_checkpoint(os.path.join(model_dir, "model"),
+                           {"params": state.params})
+    writer.close()
+
+
+if __name__ == "__main__":
+    main(get_parse())

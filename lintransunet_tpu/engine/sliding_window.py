@@ -113,13 +113,16 @@ def sliding_window_inference(
     out_channels: Optional[int] = None,
     norm: Optional[Array] = None,
     importance: Optional[Array] = None,
+    predictor_args: tuple = (),
 ) -> Array:
     """Blend per-window predictions over a full volume.
 
-    inputs: (N, H, W, D, C). predictor: (M, h, w, d, C) -> (M, h, w, d, C').
-    Pure and jittable. Pass ``norm`` (padded-spatial f32) and, for gaussian
-    mode, ``importance`` (roi-shaped f32) as operands when jitting large
-    volumes — otherwise they are derived at trace time (fine for tests).
+    inputs: (N, H, W, D, C). predictor: (M, h, w, d, C, *predictor_args) ->
+    (M, h, w, d, C'). Pure and jittable. Pass ``norm`` (padded-spatial f32)
+    and, for gaussian mode, ``importance`` (roi-shaped f32) as operands when
+    jitting large volumes — otherwise they are derived at trace time (fine
+    for tests). ``predictor_args`` (e.g. model params) are threaded through
+    as traced operands so they are NOT baked into the compiled program.
     ``sigma_scale=0`` with mode='constant' reproduces the reference call.
     """
     n, *orig_spatial, _ = inputs.shape
@@ -154,7 +157,9 @@ def sliding_window_inference(
 
     if out_channels is None:
         probe = jax.eval_shape(
-            predictor, jax.ShapeDtypeStruct((n,) + roi_size + (c,), x.dtype))
+            predictor,
+            jax.ShapeDtypeStruct((n,) + roi_size + (c,), x.dtype),
+            *predictor_args)
         out_channels = probe.shape[-1]
 
     def slice_window(start):
@@ -165,7 +170,7 @@ def sliding_window_inference(
         chunk_starts, chunk_w = chunk
         windows = [slice_window(chunk_starts[i]) for i in range(sw_batch_size)]
         batch = jnp.concatenate(windows, axis=0)  # (sw*N, h, w, d, C)
-        preds = predictor(batch).astype(jnp.float32)
+        preds = predictor(batch, *predictor_args).astype(jnp.float32)
         preds = preds.reshape((sw_batch_size, n) + roi_size + (out_channels,))
         for i in range(sw_batch_size):
             contrib = preds[i] * chunk_w[i]
@@ -226,17 +231,20 @@ class SlidingWindowRunner:
                 overlap=self.overlap,
                 mode=self.mode,
                 sigma_scale=self.sigma_scale,
-            ))
+            ), static_argnames=())
             self._cache[shape] = (fn, norm, imp)
         return self._cache[shape]
 
-    def __call__(self, volume: Array) -> Array:
+    def __call__(self, volume: Array, *predictor_args) -> Array:
+        """predictor_args (e.g. params) are traced operands, safe to update
+        between calls without recompiling or staling."""
         n, h, w, d, c = volume.shape
         pad_d = (-d) % self.depth_bucket
         if pad_d:
             volume = jnp.pad(volume, ((0, 0), (0, 0), (0, 0), (0, pad_d), (0, 0)))
         fn, norm, imp = self._compiled(volume.shape)
-        out = fn(volume, norm=norm, importance=imp)
+        out = fn(volume, norm=norm, importance=imp,
+                 predictor_args=predictor_args)
         if pad_d:
             out = out[:, :, :, :d]
         return out

@@ -1,0 +1,122 @@
+"""End-to-end CLI integration: tiny train run -> checkpoint -> inference.
+
+Exercises the full stack through the public entry points on synthetic data
+(SURVEY.md section 4.4): split tool, binary training with eval/checkpoint,
+then the inference CLI consuming the produced checkpoint.
+"""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ws")
+    data = root / "data"
+    os.makedirs(data / "image")
+    os.makedirs(data / "label")
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        d = 8
+        img = rng.normal(40.0, 60.0, (d, 32, 32)).astype(np.float32)
+        lbl = np.zeros((d, 32, 32), np.uint8)
+        lbl[2:5, 8:20, 10:22] = 1
+        np.save(data / "image" / f"{i:04d}.npy", img)
+        np.save(data / "label" / f"{i:04d}.npy", lbl)
+    from lintransunet_tpu.data.split import write_split_json
+
+    split = str(root / "split.json")
+    write_split_json(4, split, n_splits=2, seed=0)
+    return {"root": str(root), "data": str(data), "split": split}
+
+
+def _train_args(ws, tmp):
+    return types.SimpleNamespace(
+        dir_data=ws["data"], is_transform=True, split_ratio=0.9,
+        is_pretrained=False, pretrained_dir="", batch_size=1, depth_size=8,
+        num_samples=2, device="cpu", epochs=2, eval_epoch=2,
+        log_dir=os.path.join(tmp, "runs"), model_dir=os.path.join(tmp, "out"),
+        criterion_list=("CrossEntroLoss", "DiceClassLoss"),
+        criterion_weight=(1.0, 1.0),
+        weight_list=(0.1, 0.1, 1.0), final_weight=(2.0, 1.0, 1.0),
+        initial_weight=(0.1, 0.3, 1.0), fold_num=0, split_json=ws["split"],
+        learning_rate=1e-3, plateau_factor=0.8, plateau_patience=5,
+        plateau_threshold=1e-2, plateau_cooldown=1, min_lr=1e-7,
+        warmup_step=1, weight_T=12.0, num_classes=2, seed=0,
+        model_name="MaskTransUnet", num_layers=(8, 16, 32),
+        roi_size_list=(8, 6, 4), is_roi_list=(False, True, True),
+        dim_input=1, dim_output=2, kernel_size=3, compute_dtype="float32",
+        image_crop=32,
+    )
+
+
+def test_train_and_inference_cli(workspace, tmp_path):
+    from lintransunet_tpu.cli import inference_embed_attn, train3d
+
+    args = _train_args(workspace, str(tmp_path))
+    train3d.main(args)
+
+    # training must have produced a best checkpoint + metrics
+    out_root = os.path.join(str(tmp_path), "out")
+    ckpts = [os.path.join(dp, f) for dp, dn, fn in os.walk(out_root)
+             for f in fn]
+    assert ckpts, "no checkpoint artifacts written"
+    run_dirs = os.listdir(out_root)
+    assert run_dirs
+    model_dir = os.path.join(out_root, run_dirs[0], "fold_0")
+    assert os.path.isdir(os.path.join(model_dir, "temp_model"))
+
+    logs = []
+    runs_root = os.path.join(str(tmp_path), "runs")
+    for dp, dn, fn in os.walk(runs_root):
+        logs += [os.path.join(dp, f) for f in fn if f == "metrics.jsonl"]
+    assert logs
+    records = [json.loads(line) for line in open(logs[0])]
+    tags = {r["tag"] for r in records}
+    assert "train/total_loss" in tags
+    assert "eval/DiceClassLoss" in tags
+
+    # inference CLI consuming the produced checkpoint
+    cwd = os.getcwd()
+    os.chdir(str(tmp_path))
+    try:
+        infer_args = types.SimpleNamespace(
+            dir_data=workspace["data"],
+            pretrained_dir=os.path.join(out_root, run_dirs[0]),
+            batch_size=1, depth_size=8, roi_size=32, sw_batch_size=1,
+            overlap=0.6, threshold=0.5,
+            criterion_list=("DiceClassLoss", "Recall", "Precision",
+                            "LocalizationLoss"),
+            is_save=True, saved_folder=str(tmp_path / "pred"),
+            fold_nums=1, split_json=workspace["split"],
+            model_name="MaskTransUnet", num_layers=(8, 16, 32),
+            roi_size_list=(8, 6, 4), is_roi_list=(False, True, True),
+            dim_input=1, dim_output=2, kernel_size=3, compute_dtype="float32")
+        inference_embed_attn.main(infer_args)
+        assert os.path.isfile("summary_4_fold.json")
+        preds = os.listdir(str(tmp_path / "pred"))
+        assert preds
+        vol = np.load(os.path.join(str(tmp_path / "pred"), preds[0]))
+        assert vol.shape == (8, 32, 32)  # (D, H, W) export layout
+        assert set(np.unique(vol)) <= {0.0, 1.0}
+    finally:
+        os.chdir(cwd)
+
+
+def test_postprocess_keep_largest_cc():
+    from lintransunet_tpu.cli.postprocess import keep_largest_connected_component
+
+    onehot = np.zeros((3, 10, 10, 4), np.float32)
+    onehot[1, 1:3, 1:3, 1:3] = 1      # small blob (class 1)
+    onehot[1, 6:9, 6:9, 0:3] = 1      # big blob (class 1)
+    onehot[2, 6:7, 6:7, 0:1] = 1      # class 2 inside big blob
+    onehot[0] = 1 - onehot[1] - onehot[2]
+    out = keep_largest_connected_component(onehot, (1, 2), False, 3)
+    assert out[1, 1, 1, 1] == 0       # small blob removed
+    assert out[1, 7, 7, 1] == 1       # big blob kept
+    assert out[2, 6, 6, 0] == 1       # class-2 member of the union kept

@@ -1,0 +1,139 @@
+"""Data pipeline tests: transforms, datasets, split tool, loader."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lintransunet_tpu.data import (
+    DataLoader,
+    EvaPanCTDataset,
+    IdPosPanCTDataset,
+    MultiClassPanCTDataset,
+    kfold_indices,
+    load_fold,
+    write_split_json,
+)
+from lintransunet_tpu.data import transforms as T
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    """Synthetic .npy CT volumes: (D, H, W) with a blob of foreground."""
+    root = tmp_path_factory.mktemp("ct")
+    os.makedirs(root / "image")
+    os.makedirs(root / "label")
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        d = 12 + 2 * i
+        img = rng.normal(40.0, 60.0, (d, 64, 64)).astype(np.float32)
+        lbl = np.zeros((d, 64, 64), np.uint8)
+        lbl[d // 3:d // 2, 20:40, 25:45] = 1
+        if i % 2 == 0:
+            lbl[d // 2:d // 2 + 2, 30:35, 30:35] = 2
+        np.save(root / "image" / f"{i:04d}.npy", img)
+        np.save(root / "label" / f"{i:04d}.npy", lbl)
+    return str(root)
+
+
+def test_hu_window_normalise():
+    img = np.array([-200.0, 0.0, 300.0], np.float32)
+    out = T.hu_window_normalise(img, -91, 250, 86.9, 39.4)
+    np.testing.assert_allclose(
+        out, (np.array([-91, 0, 250]) - 86.9) / 39.4, rtol=1e-5)
+
+
+def test_scale_intensity_range_matches_linear_map():
+    img = np.linspace(-200, 400, 13).astype(np.float32)
+    out = T.scale_intensity_range(img, -96, 215, -2.0, 2.0, clip=True)
+    assert out.min() >= -2.0 and out.max() <= 2.0
+    mid = T.scale_intensity_range(np.array([59.5], np.float32),
+                                  -96, 215, -2.0, 2.0)
+    np.testing.assert_allclose(mid, [0.0], atol=1e-5)
+
+
+def test_rand_crop_pos_neg_fixed_shapes_and_bias():
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(40, 40, 10)).astype(np.float32)
+    lbl = np.zeros((40, 40, 10), np.uint8)
+    lbl[10:14, 10:14, 3:6] = 1
+    imgs, lbls = T.rand_crop_by_pos_neg_label(
+        img, lbl, (16, 16, 8), pos=0.7, neg=0.3, num_samples=50, rng=rng)
+    assert imgs.shape == (50, 16, 16, 8)
+    # with pos=0.7, most crops should contain foreground
+    frac_fg = np.mean([l.sum() > 0 for l in lbls])
+    assert frac_fg > 0.5
+
+
+def test_rand_crop_pads_small_volumes():
+    rng = np.random.default_rng(0)
+    img = np.ones((8, 8, 4), np.float32)
+    lbl = np.zeros((8, 8, 4), np.uint8)
+    imgs, lbls = T.rand_crop_by_pos_neg_label(
+        img, lbl, (16, 16, 8), 0.7, 0.3, 2, rng)
+    assert imgs.shape == (2, 16, 16, 8)
+
+
+def test_orient_ras():
+    v = np.zeros((2, 3, 4))
+    v[0, 0, 0] = 1
+    out = T.orient_ras(v, "LPS")  # flip first two axes
+    assert out[-1, -1, 0] == 1
+    out2 = T.orient_ras(v, "RAS")
+    np.testing.assert_array_equal(out2, v)
+
+
+def test_spacing_resample_shapes():
+    img = np.zeros((10, 10, 10), np.float32)
+    lbl = np.zeros((10, 10, 10), np.uint8)
+    out_i, out_l = T.spacing_resample(img, (1, 1, 1), (0.5, 0.5, 2.0),
+                                      label=lbl)
+    assert out_i.shape == (20, 20, 5)
+    assert out_l.shape == (20, 20, 5)
+
+
+def test_train_dataset_shapes(data_root):
+    ds = IdPosPanCTDataset(data_root, depth_size=8, num_samples=3,
+                           is_transform=True, ids=[0, 1], image_crop=32)
+    imgs, lbls = ds[0]
+    assert imgs.shape == (3, 32, 32, 8, 1)
+    assert lbls.shape == (3, 32, 32, 8)
+    assert lbls.dtype == np.uint8
+    assert set(np.unique(lbls)) <= {0, 1}  # binary dataset binarises
+
+
+def test_multiclass_dataset_keeps_ids(data_root):
+    ds = MultiClassPanCTDataset(data_root, depth_size=8, num_samples=2,
+                                is_transform=False, ids=[0], image_crop=32)
+    _, lbls = ds[0]
+    assert set(np.unique(lbls)) <= {0, 1, 2}
+
+
+def test_eval_dataset_full_volume(data_root):
+    ds = EvaPanCTDataset(data_root, depth_size=8, ids=[2])
+    img, lbl = ds[0]
+    assert img.shape == (1, 64, 64, 16, 1)
+    assert lbl.shape == (1, 64, 64, 16)
+
+
+def test_split_roundtrip(tmp_path):
+    path = str(tmp_path / "split.json")
+    out = write_split_json(20, path, n_splits=8, seed=0)
+    with open(path) as f:
+        data = json.load(f)
+    assert set(data) == set(out)
+    all_test = []
+    for fold in range(8):
+        train, test = load_fold(path, fold)
+        assert sorted(train + test) == list(range(20))
+        all_test += test
+    assert sorted(all_test) == list(range(20))  # partition
+
+
+def test_loader_prefetch_order(data_root):
+    ds = EvaPanCTDataset(data_root, depth_size=8, ids=[0, 1, 2, 3])
+    dl = DataLoader(ds, batch_size=1, shuffle=False, num_workers=3)
+    depths = [img.shape[4] for img, _ in dl]  # (B, 1, H, W, D, 1)
+    assert depths == [12, 14, 16, 18]  # in-order delivery despite threading
+    assert len(dl) == 4
