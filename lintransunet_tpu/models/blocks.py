@@ -17,6 +17,7 @@ Parameters are float32; the ``dtype`` field selects the compute dtype
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from lintransunet_tpu import ops
@@ -99,7 +100,14 @@ class MultiheadLinearAttention(nn.Module):
         q, k, v = (split(dense(i)(t)) for i, t in enumerate((q, k, v)))
         if src_mask is not None:
             src_mask = src_mask[:, None]  # (B, 1, N, 1)
-        x = ops.linear_attention(q, k, v, mask=src_mask)
+            x = ops.linear_attention(q, k, v, mask=src_mask)
+        elif jax.default_backend() != "cpu":
+            # fused Pallas kernel on TPU (ops/pallas_attention.py)
+            from lintransunet_tpu.ops.pallas_attention import linear_attention_pallas
+
+            x = linear_attention_pallas(q, k, v)
+        else:
+            x = ops.linear_attention(q, k, v)
         x = x.transpose(0, 2, 1, 3).reshape(n_batch, -1, self.d_model)
         return dense(3)(x)
 

@@ -1,0 +1,107 @@
+"""Fused Pallas TPU kernel for O(N) linear attention.
+
+One kernel per (batch*head) slice fuses the whole chain of
+trans_block.py:41-67 — feature-axis softmax on Q, token-axis softmax on K,
+the (d x d) context aggregation, and the output matmul — into a single VMEM
+round trip. The XLA einsum path (ops.attention.linear_attention) materialises
+softmax(Q), softmax(K) and the context in HBM; at the model's token counts
+(1k-45k, d_k = 32) the op is bandwidth-bound, so fusing removes ~3 full
+tensor round trips.
+
+Layout: operands are transposed to (BH, d, N) so the long token axis sits on
+the 128-wide lane dimension and d=32 rides the sublanes — (N, d) layout
+would waste 3/4 of every vector register on lane padding.
+
+Padding: N is padded to a lane multiple with K = -1e9 (softmax weight ~0)
+and V = Q = 0, matching the reference's mask convention
+(trans_block.py:55-57).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref):
+    """q/k/v refs: (1, d, N) blocks in VMEM; o: (1, d_v, N)."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    d_k = q.shape[0]
+
+    # Token-axis softmax on K: per feature row, over N (the lane axis).
+    k_max = jnp.max(k, axis=1, keepdims=True)
+    k_exp = jnp.exp(k - k_max)
+    k_sum = jnp.sum(k_exp, axis=1, keepdims=True)
+    k_soft = k_exp / k_sum
+
+    # context[d_k, d_v] = sum_n k_soft[d_k, n] * v[d_v, n]
+    context = jax.lax.dot_general(
+        k_soft, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # Feature-axis softmax on Q: per token column, over d (sublane axis).
+    q_max = jnp.max(q, axis=0, keepdims=True)
+    q_exp = jnp.exp(q - q_max)
+    q_soft = q_exp / jnp.sum(q_exp, axis=0, keepdims=True)
+    q_soft = q_soft * (1.0 / math.sqrt(d_k))
+
+    # out[d_v, n] = sum_dk context[d_k, d_v] * q_soft[d_k, n]
+    out = jax.lax.dot_general(
+        context, q_soft, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def linear_attention_pallas(query, key, value, interpret: bool = False):
+    """(B, H, N, d) x3 -> (B, H, N, d_v); semantics == ops.linear_attention.
+
+    No mask parameter: the live reference paths never pass one
+    (Unet_3Dblock.py:746, 266); use the XLA path for masked capability.
+    """
+    b, h, n, d = query.shape
+    d_v = value.shape[-1]
+    bh = b * h
+
+    def to_dn(t):
+        t = t.reshape(bh, n, t.shape[-1]).swapaxes(1, 2)  # (BH, d, N)
+        pad_n = (-n) % LANE
+        if pad_n:
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, pad_n)))
+        return t
+
+    qt, vt = to_dn(query), to_dn(value)
+    kt = key.reshape(bh, n, d).swapaxes(1, 2)
+    pad_n = (-n) % LANE
+    if pad_n:
+        # padded K tokens get -1e9 so their softmax weight vanishes
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_n)),
+                     constant_values=-1e9)
+    n_pad = n + pad_n
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, d, n_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, n_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_v, n_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d_v, n_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, d_v, n_pad), query.dtype),
+        interpret=interpret,
+    )(qt, kt, vt)
+
+    out = out[:, :, :n].swapaxes(1, 2).reshape(b, h, n, d_v)
+    return out

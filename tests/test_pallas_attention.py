@@ -1,0 +1,28 @@
+"""Pallas linear-attention kernel vs the XLA reference (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lintransunet_tpu.ops.attention import linear_attention
+from lintransunet_tpu.ops.pallas_attention import linear_attention_pallas
+
+
+def test_pallas_matches_xla_interpret(rng):
+    b, h, n, d = 2, 4, 300, 32  # n not a lane multiple: exercises padding
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+               for _ in range(3))
+    ref = linear_attention(q, k, v)
+    got = linear_attention_pallas(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_rectangular_dv(rng):
+    b, h, n, dk = 1, 2, 128, 16
+    q = jnp.asarray(rng.standard_normal((b, h, n, dk)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, dk)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, dk)).astype(np.float32))
+    ref = linear_attention(q, k, v)
+    got = linear_attention_pallas(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
