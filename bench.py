@@ -76,14 +76,18 @@ def main():
     voxels = n_windows * roi[0] * roi[1] * roi[2] * vol_shape[0]
     patch_equiv = voxels / 96 ** 3
 
-    out = runner(volume, params)  # compile + warmup
-    jax.block_until_ready(out)
+    def run_synced():
+        # block_until_ready does not reliably block through the axon tunnel;
+        # a scalar host transfer is the only trustworthy sync.
+        out = runner(volume, params)
+        return float(jnp.sum(out[0, 0, 0, 0]))
+
+    run_synced()  # compile + warmup
 
     times = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
-        out = runner(volume, params)
-        jax.block_until_ready(out)
+        run_synced()
         times.append(time.perf_counter() - t0)
     best = min(times)
     value = patch_equiv / best

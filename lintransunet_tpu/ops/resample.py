@@ -10,6 +10,7 @@ matrices, which run on the MXU with zero gathers and differentiate cleanly.
 Zero-padding out-of-range samples falls out of the tent weights for free.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,12 +89,21 @@ def separable_grid_sample_2d(
 
     wx: (N, OH, H), wy: (N, OW, W). Equivalent to batched 2D bilinear
     grid_sample applied slice-by-slice over depth, but expressed as two
-    MXU matmuls contracting H then W.
+    MXU matmuls contracting H then W. Written as explicit dot_generals whose
+    output dim order needs no transposition (batch dims + lhs free + rhs
+    free) — the einsum form lowered to a far slower program on TPU.
     """
     dt = x.dtype
     prec = _precision(dt)
-    t = jnp.einsum("nih,nhwdc->niwdc", wx.astype(dt), x, precision=prec, optimize=True)
-    return jnp.einsum("njw,niwdc->nijdc", wy.astype(dt), t, precision=prec, optimize=True)
+    # (n, oh, h) x (n, h, w, d, c) -> (n, oh, w, d, c)
+    t = jax.lax.dot_general(
+        wx.astype(dt), x,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))), precision=prec)
+    # (n, ow, w) x (n, oh, w, d, c) -> (n, ow, oh, d, c) -> transpose oh/ow
+    t2 = jax.lax.dot_general(
+        wy.astype(dt), t,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))), precision=prec)
+    return t2.transpose(0, 2, 1, 3, 4)
 
 
 def _linear_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
@@ -120,15 +130,23 @@ def resize_linear_align_corners(x: jnp.ndarray, scale) -> jnp.ndarray:
     n, h, w, d, c = x.shape
     oh, ow, od = (int(round(s * v)) for s, v in zip(scale, (h, w, d)))
     dt = x.dtype
+    prec = _precision(dt)
+
+    def axis_matmul(m, x, axis):
+        # (o, s) x (..., s, ...) -> contraction placed LAST in the lhs-free
+        # output so the result comes out as (o, <other dims>) and moveaxis
+        # restores order; for axis-1 of an N=1 tensor this is a pure reshape.
+        out = jax.lax.dot_general(
+            m, x, dimension_numbers=(((1,), (axis,)), ((), ())),
+            precision=prec)
+        return jnp.moveaxis(out, 0, axis)
+
     if oh != h:
-        m = jnp.asarray(_linear_resize_matrix(h, oh), dt)
-        x = jnp.einsum("oh,nhwdc->nowdc", m, x, precision=_precision(dt), optimize=True)
+        x = axis_matmul(jnp.asarray(_linear_resize_matrix(h, oh), dt), x, 1)
     if ow != w:
-        m = jnp.asarray(_linear_resize_matrix(w, ow), dt)
-        x = jnp.einsum("ow,nhwdc->nhodc", m, x, precision=_precision(dt), optimize=True)
+        x = axis_matmul(jnp.asarray(_linear_resize_matrix(w, ow), dt), x, 2)
     if od != d:
-        m = jnp.asarray(_linear_resize_matrix(d, od), dt)
-        x = jnp.einsum("od,nhwdc->nhwoc", m, x, precision=_precision(dt), optimize=True)
+        x = axis_matmul(jnp.asarray(_linear_resize_matrix(d, od), dt), x, 3)
     return x
 
 
