@@ -48,7 +48,7 @@ def main():
             num_layers=(16, 32, 64, 128, 256),
             roi_size_list=(100, 65, 40, 25, 10),
             is_roi_list=(False, True, True, True, True),
-            dim_input=1, dim_output=2, dtype=jnp.bfloat16)
+            dim_input=1, dim_output=2, packed_levels=2, dtype=jnp.bfloat16)
         vol_shape = (1, 512, 512, args.volume_depth, 1)
         roi = (512, 512, 64)
 

@@ -25,6 +25,8 @@ class ModelConfig:
     dropout: float = 0.3
     # TPU-specific: compute dtype ("bfloat16" is the AMP analogue).
     compute_dtype: str = "bfloat16"
+    # packed small-C fast path levels (exact; see ops/packed_conv.py)
+    packed_levels: int = 2
 
     def build(self, dtype=None):
         """Instantiate the flax model from the registry."""
@@ -45,7 +47,8 @@ class ModelConfig:
         )
         if self.model_name == "MaskTransUnet":
             kwargs.update(roi_size_list=tuple(self.roi_size_list),
-                          is_roi_list=tuple(self.is_roi_list))
+                          is_roi_list=tuple(self.is_roi_list),
+                          packed_levels=self.packed_levels)
         return cls(**kwargs)
 
 

@@ -1,0 +1,160 @@
+"""Packed-layout execution modules (the small-C TPU fast path).
+
+These compute the SAME functions as the standard blocks but on a 2x2
+space-to-channel packed layout (see ops/packed_conv.py for the measured
+rationale: ~3x on the top UNet level). Parameter names/shapes are identical
+to the standard path — kernels are stored unpacked and transformed at trace
+time — so checkpoints and the torch importer work unchanged, and
+``packed_top`` can be flipped freely between training and serving.
+
+Packing convention throughout: channel-major, packed_channel = c*4 + a*2 + b
+for sub-position (a, b) == ops.patchify.windows_embedding(kernel_size=2).
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lintransunet_tpu import ops
+from lintransunet_tpu.ops import packed_conv as pc
+
+Array = jnp.ndarray
+
+
+class PackedConv(nn.Module):
+    """Conv with unpacked params executed on packed activations.
+
+    mode 's1': k=3 stride-1 conv, packed in -> packed out.
+    mode 's2': k=3 stride-(2,2,z) conv, packed in -> UNPACKED out on the
+               packed grid (the natural result of a stride-2 downsample).
+    mode '1x1': pointwise conv, packed in -> packed out (block-diagonal).
+    """
+
+    features: int
+    in_features: int
+    mode: str = "s1"
+    z_stride: int = 1
+    kernel_size: int = 3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xp: Array) -> Array:
+        k = 1 if self.mode == "1x1" else self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, k, self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        if self.mode == "s1":
+            kp = pc.pack_kernel_stride1_jnp(kernel)
+            bp = pc.pack_bias_jnp(bias)
+            return pc.packed_conv3d_stride1(
+                xp, kp.astype(xp.dtype), bp.astype(xp.dtype),
+                kd_pad=self.kernel_size // 2)
+        if self.mode == "s2":
+            kp = pc.pack_kernel_stride2_jnp(kernel)
+            return pc.packed_conv3d_stride2(
+                xp, kp.astype(xp.dtype), bias.astype(xp.dtype),
+                z_stride=self.z_stride, kd_pad=self.kernel_size // 2)
+        kp = pc.pack_kernel_1x1_jnp(kernel)
+        bp = pc.pack_bias_jnp(bias)
+        return ops.conv3d(xp, kp.astype(xp.dtype), bp.astype(xp.dtype),
+                          stride=1, padding=0)
+
+
+class PackedDownBlock(nn.Module):
+    """DownBlock on packed activations (Unet_3Dblock.py:290-341 semantics).
+
+    Input: packed (N, H/2, W/2, D, 4C). Returns (down, skip_packed) where
+    ``down`` is UNPACKED (stride-2 output on the packed grid) and the skip
+    stays packed for the packed decoder level.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    z_stride: int = 1
+    dropout: Optional[float] = None
+    is_res: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xp: Array, train: bool = False):
+        y = PackedConv(self.in_channels, self.in_channels, mode="s1",
+                       kernel_size=self.kernel_size, dtype=self.dtype,
+                       name="conv1")(xp)
+        y = ops.leaky_relu(
+            pc.group_instance_norm_packed(y, self.in_channels))
+        if self.is_res:
+            y = y + xp
+        z = PackedConv(self.out_channels, self.in_channels, mode="s2",
+                       z_stride=self.z_stride,
+                       kernel_size=self.kernel_size, dtype=self.dtype,
+                       name="conv2")(y)
+        z = ops.leaky_relu(ops.instance_norm(z))
+        if self.dropout is not None:
+            z = nn.Dropout(self.dropout)(z, deterministic=not train)
+        return z, y
+
+
+class PackedUpBlock(nn.Module):
+    """UpBlock on packed activations (Unet_3Dblock.py:504-557 semantics).
+
+    Channel-major packing makes the skip concat a plain channel concat:
+    packed([x, skip]) == concat(packed(x), packed(skip)).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xp: Array, skip_p: Array, train: bool = False) -> Array:
+        x = PackedConv(self.out_channels, self.in_channels, mode="s1",
+                       kernel_size=self.kernel_size, dtype=self.dtype,
+                       name="conv1")(xp)
+        x = ops.leaky_relu(pc.group_instance_norm_packed(x, self.out_channels))
+        x = jnp.concatenate([x, skip_p], axis=-1)
+        x = PackedConv(self.out_channels, 2 * self.out_channels, mode="s1",
+                       kernel_size=self.kernel_size, dtype=self.dtype,
+                       name="conv2")(x)
+        x = ops.leaky_relu(pc.group_instance_norm_packed(x, self.out_channels))
+        if self.dropout is not None:
+            x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        return x
+
+
+class PackedSpatialAttentionGate(nn.Module):
+    """Additive attention gate on packed activations
+    (Unet_3Dblock.py:194-221 semantics). Returns a packed (…, 4) gate map."""
+
+    in_channel1: int
+    in_channel2: int
+    inter_channel: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, skip_p: Array, up_p: Array) -> Array:
+        xs = PackedConv(self.inter_channel, self.in_channel1, mode="1x1",
+                        dtype=self.dtype, name="W_x_0")(skip_p)
+        xs = pc.group_instance_norm_packed(xs, self.inter_channel)
+        gs = PackedConv(self.inter_channel, self.in_channel2, mode="1x1",
+                        dtype=self.dtype, name="W_g_0")(up_p)
+        gs = pc.group_instance_norm_packed(gs, self.inter_channel)
+        a = nn.relu(xs + gs)
+        a = PackedConv(1, self.inter_channel, mode="1x1", dtype=self.dtype,
+                       name="psi_0")(a)
+        return nn.sigmoid(a)
+
+
+def pack(x: Array) -> Array:
+    """(N, H, W, D, C) -> packed (N, H/2, W/2, D, 4C)."""
+    return ops.windows_embedding(x, 2)
+
+
+def unpack(xp: Array) -> Array:
+    """Inverse of pack."""
+    return ops.windows_unembedding(xp, 2)

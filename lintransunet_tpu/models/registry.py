@@ -148,6 +148,7 @@ class MaskTransUnet(nn.Module):
     dim_output: int
     kernel_size: int = 3
     dropout: float = 0.3
+    packed_levels: int = 0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -159,6 +160,7 @@ class MaskTransUnet(nn.Module):
             return_aux = train
         bottle, skips = Encoder(self.num_layers, self.dim_input,
                                 self.kernel_size, self.dropout,
+                                packed_levels=self.packed_levels,
                                 dtype=self.dtype, name="encode")(x, train=train)
         out, mask_list = ROIDecoder(
             num_layers=self.num_layers,
@@ -166,6 +168,7 @@ class MaskTransUnet(nn.Module):
             is_roi_list=self.is_roi_list,
             dim_output=self.dim_output,
             dropout=self.dropout,
+            packed_levels=self.packed_levels,
             dtype=self.dtype,
             name="decode")(bottle, skips, train=train)
         if return_aux:

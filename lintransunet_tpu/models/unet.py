@@ -13,8 +13,10 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lintransunet_tpu import ops
+from lintransunet_tpu.models import packed as pk
 from lintransunet_tpu.models.blocks import DownBlock, SpatialAttentionGate, UpBlock, _conv
 from lintransunet_tpu.models.bridges import ConnectBridge, InitialBridge, ROIBridge
+from lintransunet_tpu.ops import packed_conv as pc
 
 Array = jnp.ndarray
 
@@ -41,6 +43,7 @@ class Encoder(nn.Module):
     kernel_size: int = 3
     dropout: Optional[float] = None
     emb_window: int = 2
+    packed_levels: int = 0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -55,22 +58,48 @@ class Encoder(nn.Module):
                 f"by ({hw_div}, {hw_div}, {d_div}) for {n_blocks} encoder "
                 f"levels with window embedding {self.emb_window}")
         x = ops.windows_embedding(x, self.emb_window)
-        x = _conv(self.num_layers[0], self.kernel_size,
-                  padding=self.kernel_size // 2, dtype=self.dtype,
-                  name="input_block")(x)
-        x = ops.leaky_relu(ops.instance_norm(x))
-
         skips = []
+        p_levels = min(self.packed_levels, n_blocks - 1)
+        if p_levels > 0:
+            # packed fast path for the top level(s) (ops/packed_conv.py):
+            # identical math, kernels transformed at trace time; skips of
+            # packed levels stay packed for the packed decoder levels.
+            xp = pk.pack(x)
+            xp = pk.PackedConv(self.num_layers[0],
+                               self.dim_input * self.emb_window ** 2,
+                               mode="s1", kernel_size=self.kernel_size,
+                               dtype=self.dtype, name="input_block")(xp)
+            xp = ops.leaky_relu(
+                pc.group_instance_norm_packed(xp, self.num_layers[0]))
+        else:
+            x = _conv(self.num_layers[0], self.kernel_size,
+                      padding=self.kernel_size // 2, dtype=self.dtype,
+                      name="input_block")(x)
+            x = ops.leaky_relu(ops.instance_norm(x))
+
         for i in range(1, len(self.num_layers)):
-            x, skip = DownBlock(
-                in_channels=self.num_layers[i - 1],
-                out_channels=self.num_layers[i],
-                kernel_size=self.kernel_size,
-                stride=encoder_stride(i),
-                dropout=self.dropout,
-                dtype=self.dtype,
-                name=f"block_list_{i - 1}")(x, train=train)
-            skips.append(skip)
+            if i <= p_levels:
+                x, skip_p = pk.PackedDownBlock(
+                    in_channels=self.num_layers[i - 1],
+                    out_channels=self.num_layers[i],
+                    kernel_size=self.kernel_size,
+                    z_stride=encoder_stride(i)[2],
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                    name=f"block_list_{i - 1}")(xp, train=train)
+                skips.append(skip_p)
+                if i < p_levels:
+                    xp = pk.pack(x)
+            else:
+                x, skip = DownBlock(
+                    in_channels=self.num_layers[i - 1],
+                    out_channels=self.num_layers[i],
+                    kernel_size=self.kernel_size,
+                    stride=encoder_stride(i),
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                    name=f"block_list_{i - 1}")(x, train=train)
+                skips.append(skip)
         return x, skips
 
 
@@ -132,6 +161,7 @@ class ROIDecoder(nn.Module):
     dropout: float = 0.2
     n_layers: int = 8
     emb_window: int = 2
+    packed_levels: int = 0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -149,6 +179,18 @@ class ROIDecoder(nn.Module):
                     n_layers=self.n_layers,
                     dtype=self.dtype,
                     name=f"bridge_list_{n_levels - 1}")(x, train=train)
+                continue
+
+            level = n_levels - 1 - i
+            if level < min(self.packed_levels, n_levels - 2):
+                # upsample directly into the packed layout (no full-res
+                # unpacked intermediate)
+                z2 = decoder_scale(n_levels, i)[2] == 2
+                xp = pc.packed_upsample_x2(x, z2=z2)
+                x = self._packed_level(xp, encoded_list[-i], level, i,
+                                       mask_list, train)
+                if level > 0:
+                    x = pk.unpack(x)
                 continue
 
             x = ops.resize_linear_align_corners(x, decoder_scale(n_levels, i))
@@ -192,11 +234,64 @@ class ROIDecoder(nn.Module):
                 dtype=self.dtype,
                 name=f"block_list_{i - 1}")(x, bridged, train=train)
 
-        x = _conv(self.dim_output * self.emb_window ** 2, self.kernel_size,
-                  padding=self.kernel_size // 2, dtype=self.dtype,
-                  name="final_block")(x)
+        if self.packed_levels > 0:
+            x = pk.PackedConv(self.dim_output * self.emb_window ** 2,
+                              layers[0], mode="s1",
+                              kernel_size=self.kernel_size, dtype=self.dtype,
+                              name="final_block")(x)
+            x = pk.unpack(x)
+        else:
+            x = _conv(self.dim_output * self.emb_window ** 2,
+                      self.kernel_size, padding=self.kernel_size // 2,
+                      dtype=self.dtype, name="final_block")(x)
         x = ops.windows_unembedding(x, self.emb_window)
         return nn.softmax(x.astype(jnp.float32), axis=-1), mask_list
+
+    def _packed_level(self, xp: Array, skip_p: Array, level: int, i: int,
+                      mask_list, train: bool) -> Array:
+        """Decoder level on the packed layout (same math, measured ~3x).
+
+        ``xp`` arrives PACKED (packed_upsample_x2 output); ``skip_p`` arrives
+        packed from the packed encoder level. Returns the packed merged
+        feature at ``level`` resolution (the caller unpacks unless level ==
+        0, whose output feeds the packed final conv directly).
+        """
+        layers = list(self.num_layers)
+
+        mask_p = pk.PackedConv(self.dim_output, layers[level + 1], mode="s1",
+                               kernel_size=self.kernel_size, dtype=self.dtype,
+                               name=f"mask_conv_list_{level}")(xp)
+        shape = mask_p.shape
+        grouped = mask_p.reshape(shape[:-1] + (self.dim_output, 4))
+        grouped = nn.softmax(grouped.astype(jnp.float32), axis=-2)
+        mask = pk.unpack(grouped.reshape(shape).astype(jnp.float32))
+        mask_list.append(mask)
+
+        gate_p = pk.PackedSpatialAttentionGate(
+            in_channel1=layers[level], in_channel2=layers[level + 1],
+            inter_channel=layers[level], dtype=self.dtype,
+            name=f"att_conv_list_{level}")(skip_p, xp)
+        skip_p = pc.packed_scale(skip_p, gate_p.astype(skip_p.dtype),
+                                 layers[level])
+
+        if self.is_roi_list[level]:
+            d_model = min(4 * layers[level], 256)
+            foreground = (1.0 - mask[..., 0:1]).astype(skip_p.dtype)
+            bridged = ROIBridge(
+                in_dim=layers[level], d_model=d_model, nhead=d_model // 32,
+                dropout=self.dropout, n_layers=self.n_layers,
+                roi_size=self.roi_size_list[level], dtype=self.dtype,
+                name=f"bridge_list_{level}")(pk.unpack(skip_p), foreground,
+                                             train=train)
+            bridged = pk.pack(bridged)
+        else:
+            bridged = skip_p
+
+        return pk.PackedUpBlock(
+            in_channels=layers[level + 1], out_channels=layers[level],
+            kernel_size=self.kernel_size, dropout=self.dropout,
+            dtype=self.dtype,
+            name=f"block_list_{i - 1}")(xp, bridged, train=train)
 
 
 class MaskDecoder(nn.Module):

@@ -1,0 +1,204 @@
+"""Exact space-to-channel packed 3D convolutions (the small-C TPU fix).
+
+Motivation (measured on v5e): XLA conv efficiency scales with channel count
+— ~3.7 TFLOP/s at C=16, ~30 at C=64, ~62 at C=128 — because a small minor
+dim wastes vector lanes across the whole op (and pointwise/elementwise ops
+pay an ~8x physical padding tax at C=16). The UNet's top levels run at
+C=16/32, so they dominate wall-clock despite modest FLOPs.
+
+Fix: compute the SAME convolution on a 2x2-in-(H, W) space-to-channel packed
+layout (ops.patchify.windows_embedding: packed channel = c*4 + a*2 + b for
+sub-position (a, b)). The packed kernel below is an exact linear transform of
+the original kernel, so results are bit-for-bit the same function (up to
+float reassociation):
+
+* stride-1 k=3 conv  -> packed k=3 conv over 4C -> 4C' channels;
+* stride-2 k=3 conv  -> packed k=2 conv, stride 1, padding (1, 0),
+  emitting UNPACKED channels (the output lives on the coarser grid).
+
+Packed kernels are 4x the FLOPs but run at ~8x the efficiency, and every
+surrounding elementwise/norm op sees a 4x-fuller minor dim.
+"""
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from lintransunet_tpu.ops.conv import conv3d
+
+
+def pack_kernel_stride1_jnp(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Traced-array version of pack_kernel_stride1 (for in-jit transforms of
+    live parameters; runs once per compilation)."""
+    kh, kw, kd, c, o = kernel.shape
+    out = jnp.zeros((3, 3, kd, 4 * c, 4 * o), kernel.dtype)
+    ci_base = jnp.arange(c) * 4
+    co_base = jnp.arange(o) * 4
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            for a in (0, 1):
+                for b in (0, 1):
+                    for alpha in (0, 1):
+                        for beta in (0, 1):
+                            dh = 2 * di + a - alpha
+                            dw = 2 * dj + b - beta
+                            if -1 <= dh <= 1 and -1 <= dw <= 1:
+                                ci = ci_base + a * 2 + b
+                                co = co_base + alpha * 2 + beta
+                                out = out.at[di + 1, dj + 1, :,
+                                             ci[:, None], co[None, :]].set(
+                                    kernel[dh + 1, dw + 1].transpose(1, 2, 0))
+    return out
+
+
+def pack_kernel_stride2_jnp(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Traced-array version of pack_kernel_stride2."""
+    kh, kw, kd, c, o = kernel.shape
+    out = jnp.zeros((2, 2, kd, 4 * c, o), kernel.dtype)
+    ci_base = jnp.arange(c) * 4
+    taps = {(0, 1): 0, (1, 0): 1, (1, 1): 2}
+    for (bi, a), dh in taps.items():
+        for (bj, b), dw in taps.items():
+            ci = ci_base + a * 2 + b
+            out = out.at[bi, bj, :, ci, :].set(
+                kernel[dh, dw].transpose(1, 0, 2))
+    return out
+
+
+def pack_kernel_1x1_jnp(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(1, 1, 1, C, O) -> (1, 1, 1, 4C, 4O) block-diagonal over sub-positions."""
+    _, _, _, c, o = kernel.shape
+    w = kernel[0, 0, 0]  # (C, O)
+    eye = jnp.eye(4, dtype=kernel.dtype)
+    k = w[:, None, :, None] * eye[None, :, None, :]  # (C, 4, O, 4)
+    return k.reshape(1, 1, 1, 4 * c, 4 * o)
+
+
+def pack_bias_jnp(bias: jnp.ndarray) -> jnp.ndarray:
+    return jnp.repeat(bias, 4)
+
+
+def packed_scale(x_packed: jnp.ndarray, gate_packed: jnp.ndarray,
+                 channels: int) -> jnp.ndarray:
+    """Multiply packed (…, 4C) features by a packed (…, 4) 1-channel gate."""
+    shape = x_packed.shape
+    g = gate_packed.reshape(shape[:-1] + (1, 4))
+    x = x_packed.reshape(shape[:-1] + (channels, 4))
+    return (x * g.astype(x.dtype)).reshape(shape)
+
+
+def pack_kernel_stride1(kernel: np.ndarray) -> np.ndarray:
+    """(3, 3, kd, C, O) -> (3, 3, kd, 4C, 4O) packed-equivalent kernel.
+
+    Output sub-position (alpha, beta), input sub-position (a, b), block
+    offsets (DI, DJ) in {-1, 0, 1}: tap (dh, dw) contributes iff
+    dh = 2*DI + a - alpha in [-1, 1] (same for w).
+    """
+    kh, kw, kd, c, o = kernel.shape
+    assert kh == 3 and kw == 3, "stride-1 packing derived for k=3"
+    # channel-major packing: packed_in = c*4 + a*2 + b, packed_out = o*4 + ...
+    out = np.zeros((3, 3, kd, 4 * c, 4 * o), kernel.dtype)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            for a in (0, 1):
+                for b in (0, 1):
+                    for alpha in (0, 1):
+                        for beta in (0, 1):
+                            dh = 2 * di + a - alpha
+                            dw = 2 * dj + b - beta
+                            if -1 <= dh <= 1 and -1 <= dw <= 1:
+                                src = kernel[dh + 1, dw + 1]  # (kd, C, O)
+                                ci = np.arange(c) * 4 + a * 2 + b
+                                co = np.arange(o) * 4 + alpha * 2 + beta
+                                out[di + 1, dj + 1][:, ci[:, None], co[None, :]] = src
+    return out
+
+
+def pack_kernel_stride2(kernel: np.ndarray) -> np.ndarray:
+    """(3, 3, kd, C, O) -> (2, 2, kd, 4C, O) for the stride-2 downsample conv.
+
+    The strided conv's output lives on the packed (coarse) grid directly:
+    output m reads original rows 2m-1..2m+1 = packed blocks {m-1 (sub 1),
+    m (subs 0, 1)}; with left padding 1, kernel tap 0 is block m-1.
+    """
+    kh, kw, kd, c, o = kernel.shape
+    assert kh == 3 and kw == 3
+    out = np.zeros((2, 2, kd, 4 * c, o), kernel.dtype)
+    # (bi, a) -> dh' tap index in the original kernel
+    taps = {(0, 1): 0, (1, 0): 1, (1, 1): 2}
+    for (bi, a), dh in taps.items():
+        for (bj, b), dw in taps.items():
+            src = kernel[dh, dw]  # (kd, C, O)
+            ci = np.arange(c) * 4 + a * 2 + b
+            out[bi, bj][:, ci, :] = src
+    return out
+
+
+def packed_conv3d_stride1(x_packed: jnp.ndarray, packed_kernel, bias=None,
+                          kd_pad: int = 1) -> jnp.ndarray:
+    """Packed-layout equivalent of conv3d(stride=1, padding=1)."""
+    return conv3d(x_packed, packed_kernel, bias=bias, stride=1,
+                  padding=(1, 1, kd_pad))
+
+
+def packed_conv3d_stride2(x_packed: jnp.ndarray, packed_kernel, bias=None,
+                          z_stride: int = 1, kd_pad: int = 1) -> jnp.ndarray:
+    """Packed-layout equivalent of conv3d(stride=(2, 2, z), padding=1).
+
+    Output channels are UNPACKED (the result sits on the packed grid).
+    """
+    y = jnp.pad(x_packed, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+    return conv3d(y, packed_kernel, bias=bias, stride=(1, 1, z_stride),
+                  padding=(0, 0, kd_pad))
+
+
+def pack_bias_stride1(bias: np.ndarray) -> np.ndarray:
+    """(O,) -> (4O,) replicated per sub-position (channel-major packing)."""
+    return np.repeat(bias, 4)
+
+
+def group_instance_norm_packed(x_packed: jnp.ndarray, channels: int,
+                               eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm over packed (N, H/2, W/2, D, 4C): stats per ORIGINAL
+    channel pool over (spatial x 4 sub-positions) — exactly the unpacked
+    InstanceNorm's statistics."""
+    n, h, w, d, c4 = x_packed.shape
+    assert c4 == 4 * channels
+    x32 = x_packed.astype(jnp.float32).reshape(n, h, w, d, channels, 4)
+    mean = jnp.mean(x32, axis=(1, 2, 3, 5), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3, 5), keepdims=True)
+    out = (x32 - mean) * (1.0 / jnp.sqrt(var + eps))
+    return out.reshape(n, h, w, d, c4).astype(x_packed.dtype)
+
+
+def packed_upsample_x2(x: jnp.ndarray, z2: bool = False) -> jnp.ndarray:
+    """Trilinear x2 (align_corners) upsample emitting the PACKED layout.
+
+    x: unpacked (N, H, W, D, C) -> packed (N, H, W, D*, 4C) representing the
+    (2H, 2W, D*) upsampled tensor, D* = 2D if z2. Equivalent to
+    pack(resize_linear_align_corners(x, (2, 2, z))) but never materialises
+    the full-resolution unpacked intermediate (which pays the small-C lane
+    tax twice). Exactness follows from separability of the trilinear resize.
+    """
+    import jax
+
+    from lintransunet_tpu.ops.resample import _linear_resize_matrix
+
+    n, h, w, d, c = x.shape
+    dt = x.dtype
+    wh = jnp.asarray(_linear_resize_matrix(h, 2 * h).reshape(h, 2, h), dt)
+    ww = jnp.asarray(_linear_resize_matrix(w, 2 * w).reshape(w, 2, w), dt)
+
+    # contract H: (n, h, w, d, c) x (h_out, a, h) -> (n, w, d, c, h_out, a)
+    t = jax.lax.dot_general(x, wh, (((1,), (2,)), ((), ())))
+    # contract W: (n, w, d, c, ho, a) x (w_out, b, w) -> (n, d, c, ho, a, wo, b)
+    t = jax.lax.dot_general(t, ww, (((1,), (2,)), ((), ())))
+    # -> (n, ho, wo, d, c, a, b) -> channel-major packed (c*4 + a*2 + b)
+    t = t.transpose(0, 3, 5, 1, 2, 4, 6)
+    out = t.reshape(n, h, w, d, 4 * c)
+    if z2:
+        wd = jnp.asarray(_linear_resize_matrix(d, 2 * d), dt)
+        out = jax.lax.dot_general(wd, out, (((1,), (3,)), ((), ())))
+        out = jnp.moveaxis(out, 0, 3)
+    return out

@@ -1,0 +1,102 @@
+"""Packed space-to-channel conv equivalence (exact kernel transformation)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lintransunet_tpu import ops
+from lintransunet_tpu.ops import packed_conv as pc
+
+
+def test_stride1_packed_conv_matches_direct(rng):
+    n, h, w, d, c, o = 1, 12, 10, 6, 3, 5
+    x = rng.standard_normal((n, h, w, d, c)).astype(np.float32)
+    k = rng.standard_normal((3, 3, 3, c, o)).astype(np.float32)
+    b = rng.standard_normal((o,)).astype(np.float32)
+
+    ref = ops.conv3d(jnp.asarray(x), jnp.asarray(k), jnp.asarray(b),
+                     stride=1, padding=1)
+
+    xp = ops.windows_embedding(jnp.asarray(x), 2)
+    kp = pc.pack_kernel_stride1(k)
+    bp = pc.pack_bias_stride1(b)
+    got_p = pc.packed_conv3d_stride1(xp, jnp.asarray(kp), jnp.asarray(bp))
+    got = ops.windows_unembedding(got_p, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_stride2_packed_conv_matches_direct(rng):
+    n, h, w, d, c, o = 1, 12, 10, 6, 3, 5
+    x = rng.standard_normal((n, h, w, d, c)).astype(np.float32)
+    k = rng.standard_normal((3, 3, 3, c, o)).astype(np.float32)
+
+    for z in (1, 2):
+        ref = ops.conv3d(jnp.asarray(x), jnp.asarray(k), stride=(2, 2, z),
+                         padding=1)
+        xp = ops.windows_embedding(jnp.asarray(x), 2)
+        kp = pc.pack_kernel_stride2(k)
+        got = pc.packed_conv3d_stride2(xp, jnp.asarray(kp), z_stride=z)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_group_instance_norm_matches_unpacked(rng):
+    x = rng.standard_normal((2, 8, 8, 4, 6)).astype(np.float32)
+    ref = ops.instance_norm(jnp.asarray(x))
+    xp = ops.windows_embedding(jnp.asarray(x), 2)
+    got_p = pc.group_instance_norm_packed(xp, channels=6)
+    got = ops.windows_unembedding(got_p, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_packed_upsample_matches_resize_then_pack(rng):
+    x = jnp.asarray(rng.standard_normal((2, 6, 5, 4, 3)).astype(np.float32))
+    for z2 in (False, True):
+        ref = ops.windows_embedding(
+            ops.resize_linear_align_corners(x, (2, 2, 2 if z2 else 1)), 2)
+        got = pc.packed_upsample_x2(x, z2=z2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_packed_top_model_matches_unpacked(rng):
+    """packed_top=True must compute the same function with the same params."""
+    import jax
+
+    from lintransunet_tpu.models import MaskTransUnet
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(8, 6, 4),
+              is_roi_list=(False, True, True), dim_input=1, dim_output=2)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 4, 1)).astype(np.float32))
+    base = MaskTransUnet(**kw)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    ref_out, ref_masks = base.apply(variables, x, train=False, return_aux=True)
+
+    fast = MaskTransUnet(**kw, packed_levels=2)
+    # same param tree must be accepted verbatim
+    got_out, got_masks = fast.apply(variables, x, train=False, return_aux=True)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-5)
+    assert len(got_masks) == len(ref_masks)
+    for g, r in zip(got_masks, ref_masks):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_packed_top_roi_level(rng):
+    """Same check with an ROI bridge at the packed level (is_roi_list[0])."""
+    import jax
+
+    from lintransunet_tpu.models import MaskTransUnet
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(6, 6, 4),
+              is_roi_list=(True, True, True), dim_input=1, dim_output=2)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 4, 1)).astype(np.float32))
+    base = MaskTransUnet(**kw)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    ref_out, _ = base.apply(variables, x, train=False, return_aux=True)
+    fast = MaskTransUnet(**kw, packed_levels=2)
+    got_out, _ = fast.apply(variables, x, train=False, return_aux=True)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-5)
