@@ -7,8 +7,10 @@ internals the reference leans on (SURVEY.md section 2b).
 
 from lintransunet_tpu.ops.patchify import windows_embedding, windows_unembedding
 from lintransunet_tpu.ops.pool import max_pool3d, avg_pool2d
-from lintransunet_tpu.ops.bbox import min_max_indice, mask_boundary
+from lintransunet_tpu.ops.bbox import mask_boundary, min_max_indice, min_max_indice2
 from lintransunet_tpu.ops.resample import (
+    solid_back_index,
+    solid_transfer_index,
     transfer_index,
     transfer_back_index,
     bilinear_weights,
@@ -25,8 +27,11 @@ __all__ = [
     "max_pool3d",
     "avg_pool2d",
     "min_max_indice",
+    "min_max_indice2",
     "mask_boundary",
     "transfer_index",
+    "solid_transfer_index",
+    "solid_back_index",
     "transfer_back_index",
     "bilinear_weights",
     "separable_grid_sample_2d",

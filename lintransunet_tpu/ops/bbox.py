@@ -39,6 +39,31 @@ def min_max_indice(hist: jnp.ndarray, threshold: float = 0.001):
     )
 
 
+def min_max_indice2(hist: jnp.ndarray, threshold: float = 1e-5):
+    """Peak-relative extent variant (``get_min_max_indice2``,
+    Unet_3Dblock.py:10-35; not used by the live path, kept for parity).
+
+    Finds the nearest below-threshold bins on each side of the histogram
+    peak; falls back to the array ends when a side has none.
+    """
+    hist = hist.astype(jnp.float32)
+    length = hist.shape[0]
+    ratio = hist / jnp.max(hist)
+    below = ratio <= threshold
+    peak = jnp.argmax(hist)
+    idx = jnp.arange(length)
+    left_mask = below & (idx <= peak)
+    right_mask = below & (idx >= peak)
+    lo = jnp.max(jnp.where(left_mask, idx, 0))
+    lo = jnp.where(jnp.any(left_mask), lo, 0)
+    hi = jnp.min(jnp.where(right_mask, idx, length - 1))
+    hi = jnp.where(jnp.any(right_mask), hi, length - 1)
+    none_below = jnp.logical_not(jnp.any(below))
+    lo = jnp.where(none_below, 0, lo)
+    hi = jnp.where(none_below, length - 1, hi)
+    return lo, hi, peak
+
+
 def _clamped_extent(lo, hi, centre, size_limit_lo, size_limit_hi, full):
     """Vectorised port of the 4-way clamp in get_mask_boundary2 (lines 850-871).
 

@@ -69,6 +69,35 @@ def transfer_back_index(x0, x1, h, roi_size: int, eval_roi_size: int) -> jnp.nda
     return out * 2.0 / eval_roi_size - 1.0
 
 
+def solid_transfer_index(x0, x1, h, eval_roi_size: int) -> jnp.ndarray:
+    """Identity-slope fisheye variant (``get_solid_transfer_index``,
+    Unet_3Dblock.py:84-102; unused by the live path, kept for parity).
+    Slope 1 inside the box, linear squeeze outside."""
+    x0 = jnp.asarray(x0, jnp.float32).reshape(-1, 1)
+    x1 = jnp.asarray(x1, jnp.float32).reshape(-1, 1)
+    idx = jnp.arange(eval_roi_size, dtype=jnp.float32)[None, :]
+    k1 = (h - x1 + x0) / (eval_roi_size - 1 - x1 + x0)
+    out = idx + x0 * (1 - 1 / k1)
+    out = jnp.where(out <= x0, idx * k1, out)
+    out = jnp.where(out >= x1, (idx - eval_roi_size + 1) * k1 + h, out)
+    return out * 2.0 / h - 1.0
+
+
+def solid_back_index(x0, x1, h, eval_roi_size: int) -> jnp.ndarray:
+    """Inverse of solid_transfer_index (``get_solid_back_index``,
+    Unet_3Dblock.py:104-120; unused by the live path, kept for parity)."""
+    x0 = jnp.asarray(x0, jnp.float32).reshape(-1, 1)
+    x1 = jnp.asarray(x1, jnp.float32).reshape(-1, 1)
+    idx = jnp.arange(int(h) + 1, dtype=jnp.float32)[None, :]
+    k1 = (eval_roi_size - 1 - x1 + x0) / (h - x1 + x0)
+    p0 = x0 * k1
+    p1 = eval_roi_size - 1 - (h - x1) * k1
+    out = idx + p0 * (1 - k1)
+    out = jnp.where(out <= p0, out * k1 + p0 * (1 - k1), out)
+    out = jnp.where(out >= p1, out * k1 + p1 * (1 - k1), out)
+    return out * 2.0 / (eval_roi_size - 1) - 1.0
+
+
 def bilinear_weights(coords: jnp.ndarray, in_size: int) -> jnp.ndarray:
     """(B, M) normalised align_corners coords -> (B, M, in_size) tent weights.
 

@@ -318,3 +318,48 @@ def test_depthwise_conv_matches_torch(rng):
         jnp.asarray(x), jnp.asarray(wgt.transpose(2, 3, 4, 1, 0)), stride=1, padding=1, groups=c
     )
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_min_max_indice2_matches_reference():
+    def torch_ref(hist, threshold=1e-5):
+        # get_min_max_indice2, Unet_3Dblock.py:10-35
+        t = torch.from_numpy(hist)
+        ratio = t / torch.max(t)
+        idx = torch.where(ratio <= threshold)[0]
+        peak = torch.argmax(t)
+        if idx.numel() == 0:
+            return 0, t.shape[0] - 1, int(peak)
+        left = idx[idx <= peak]
+        lo = int(torch.max(left)) if left.numel() else 0
+        right = idx[idx >= peak]
+        hi = int(torch.min(right)) if right.numel() else t.shape[0] - 1
+        return lo, hi, int(peak)
+
+    rng = np.random.default_rng(7)
+    for hist in [rng.random(32).astype(np.float32) + 0.1,
+                 np.concatenate([np.zeros(5), np.ones(10), np.zeros(8)]).astype(np.float32)]:
+        got = tuple(int(v) for v in ops.min_max_indice2(jnp.asarray(hist)))
+        assert got == torch_ref(hist), hist
+
+
+def test_solid_transfer_index_matches_reference():
+    def torch_ref(x0, x1, h, n):
+        # get_solid_transfer_index, Unet_3Dblock.py:84-102
+        img = torch.arange(0, n, dtype=torch.float32)
+        x0t = torch.as_tensor(x0).reshape(-1, 1)
+        x1t = torch.as_tensor(x1).reshape(-1, 1)
+        k1 = (h - x1t + x0t) / (n - 1 - x1t + x0t)
+        out = img * 1 + x0t * (1 - 1 / k1)
+        b = out <= x0t
+        out2 = img * k1
+        out[b] = out2.expand_as(out)[b]
+        b = out >= x1t
+        out2 = (img - n + 1) * k1 + h
+        out[b] = out2.expand_as(out)[b]
+        return (out * 2 / h - 1).numpy()
+
+    x0 = np.array([5.0], np.float32)
+    x1 = np.array([20.0], np.float32)
+    got = ops.solid_transfer_index(x0, x1, 31.0, 28)
+    np.testing.assert_allclose(np.asarray(got), torch_ref(x0, x1, 31.0, 28),
+                               rtol=1e-5, atol=1e-5)
