@@ -59,13 +59,22 @@ def _kernel(q_ref, k_ref, v_ref, o_ref):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def linear_attention_pallas(query, key, value, interpret: bool = False):
     """(B, H, N, d) x3 -> (B, H, N, d_v); semantics == ops.linear_attention.
+
+    Differentiable: the forward runs the fused Pallas kernel; the backward
+    is the analytic gradient of the linear-attention chain expressed as XLA
+    einsums (pallas_call itself has no autodiff rule).
 
     No mask parameter: the live reference paths never pass one
     (Unet_3Dblock.py:746, 266); use the XLA path for masked capability.
     """
+    return _forward(query, key, value, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _forward(query, key, value, interpret: bool = False):
     b, h, n, d = query.shape
     d_v = value.shape[-1]
     bh = b * h
@@ -105,3 +114,45 @@ def linear_attention_pallas(query, key, value, interpret: bool = False):
 
     out = out[:, :, :n].swapaxes(1, 2).reshape(b, h, n, d_v)
     return out
+
+
+def _fwd(query, key, value, interpret: bool = False):
+    return _forward(query, key, value, interpret), (query, key, value)
+
+
+def _softmax_bwd(s, g):
+    """VJP of softmax along the axis s was normalised over (last here)."""
+    return s * (g - jnp.sum(g * s, axis=-1, keepdims=True))
+
+
+def _bwd(interpret, residuals, g):
+    """Analytic gradients of out = (softmax_d(Q)/sqrt(d)) @ (softmax_n(K)^T V).
+
+    Softmaxes are recomputed (cheap, O(N d)); all contractions are the same
+    O(N d^2) shape as the forward.
+    """
+    q, k, v = residuals
+    d_k = q.shape[-1]
+    scale = 1.0 / math.sqrt(d_k)
+    g32 = g.astype(jnp.float32)
+
+    s_q = jax.nn.softmax(q.astype(jnp.float32), axis=-1)
+    s_k = jax.nn.softmax(k.astype(jnp.float32), axis=-2)
+    v32 = v.astype(jnp.float32)
+
+    context = jnp.einsum("bhnd,bhne->bhde", s_k, v32)        # (B,H,dk,dv)
+    dq_prime = jnp.einsum("bhne,bhde->bhnd", g32, context)    # dL/d(Q')
+    dq = _softmax_bwd(s_q, dq_prime * scale)
+
+    q_prime = s_q * scale
+    d_context = jnp.einsum("bhnd,bhne->bhde", q_prime, g32)   # (B,H,dk,dv)
+    dk_prime = jnp.einsum("bhne,bhde->bhnd", v32, d_context)  # dL/d(K')
+    # softmax over the token axis: transpose trick reuses the last-axis bwd
+    dk = _softmax_bwd(s_k.swapaxes(-1, -2),
+                      dk_prime.swapaxes(-1, -2)).swapaxes(-1, -2)
+    dv = jnp.einsum("bhnd,bhde->bhne", s_k, d_context)
+
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+linear_attention_pallas.defvjp(_fwd, _bwd)

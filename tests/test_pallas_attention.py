@@ -26,3 +26,24 @@ def test_pallas_rectangular_dv(rng):
     got = linear_attention_pallas(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_gradients_match_xla(rng):
+    import jax
+
+    b, h, n, d = 1, 2, 64, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+               for _ in range(3))
+    tangent = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(linear_attention(q, k, v) * tangent)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(linear_attention_pallas(q, k, v, True) * tangent)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
