@@ -94,9 +94,10 @@ def main():
 
     print(f"windows={n_windows} patch_equiv={patch_equiv:.1f} "
           f"times={[f'{t:.3f}' for t in times]}", file=sys.stderr)
+    window_desc = "x".join(str(r) for r in roi)
     print(json.dumps({
         "metric": "96^3 patches/sec/chip sliding-window CT inference "
-                  "(MaskTransUnet bf16, 512x512x64 windows, overlap 0.6)",
+                  f"(MaskTransUnet bf16, {window_desc} windows, overlap 0.6)",
         "value": round(value, 2),
         "unit": "patches/sec/chip",
         "vs_baseline": round(value / 500.0, 4),
