@@ -47,8 +47,11 @@ def train_on_epoch(
         masks = masks.reshape((-1,) + masks.shape[2:])
         frames = images.shape[0]
 
-        patient_loss = 0.0
-        log_accum: Dict[str, float] = {}
+        # Device scalars are collected and fetched in ONE device_get per
+        # patient: a float() per logged loss per micro-step would cost a
+        # host round trip each (~25 ms on the tunnel) and serialise the
+        # pipeline, dwarfing the step itself.
+        pending = []
         for j in range(patient_epochs):
             idx = rng.integers(0, frames, size=patient_batchsize)
             batch_images = jnp.asarray(images[idx])
@@ -56,7 +59,12 @@ def train_on_epoch(
             jax_rng, sub = jax.random.split(jax_rng)
             state, loss, logs = step_fn(state, batch_images, batch_masks,
                                         dyn_w, sub)
-            patient_loss += float(loss)
+            pending.append((loss, logs))
+
+        fetched = jax.device_get(pending)
+        patient_loss = float(sum(l for l, _ in fetched))
+        log_accum: Dict[str, float] = {}
+        for _, logs in fetched:
             for k, v in logs.items():
                 log_accum[k] = log_accum.get(k, 0.0) + float(v)
 
