@@ -110,8 +110,10 @@ def eval_on_epoch(
                 num_classes).reshape(masks.shape + (num_classes,))
         else:
             target = jnp.asarray(masks.astype(np.int32))
-        for name, fn in criterions.items():
-            totals[name] += float(fn(predict, target))
+        values = jax.device_get({name: fn(predict, target)
+                                 for name, fn in criterions.items()})
+        for name, v in values.items():
+            totals[name] += float(v)
         n += 1
 
     out_loss = 0.0
