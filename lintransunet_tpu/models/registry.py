@@ -169,6 +169,9 @@ class MaskTransUnet(nn.Module):
             dim_output=self.dim_output,
             dropout=self.dropout,
             packed_levels=self.packed_levels,
+            # eval branch one-hots the argmax, which softmax cannot change —
+            # skip the full-resolution f32 softmax there
+            apply_softmax=return_aux,
             dtype=self.dtype,
             name="decode")(bottle, skips, train=train)
         if return_aux:

@@ -162,6 +162,7 @@ class ROIDecoder(nn.Module):
     n_layers: int = 8
     emb_window: int = 2
     packed_levels: int = 0
+    apply_softmax: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -245,6 +246,10 @@ class ROIDecoder(nn.Module):
                       self.kernel_size, padding=self.kernel_size // 2,
                       dtype=self.dtype, name="final_block")(x)
         x = ops.windows_unembedding(x, self.emb_window)
+        if not self.apply_softmax:
+            # eval fast path: argmax(softmax(x)) == argmax(x), so the caller
+            # can one-hot the raw logits and skip a full-res f32 softmax
+            return x, mask_list
         return nn.softmax(x.astype(jnp.float32), axis=-1), mask_list
 
     def _packed_level(self, xp: Array, skip_p: Array, level: int, i: int,
