@@ -120,3 +120,63 @@ def test_postprocess_keep_largest_cc():
     assert out[1, 1, 1, 1] == 0       # small blob removed
     assert out[1, 7, 7, 1] == 1       # big blob kept
     assert out[2, 6, 6, 0] == 1       # class-2 member of the union kept
+
+
+def test_multiclass_train_and_inference_cli(workspace, tmp_path):
+    """Multi-class CLIs end-to-end: tiny train -> checkpoint -> inference
+    with KeepLargestConnectedComponent post-processing."""
+    import numpy as np
+
+    from lintransunet_tpu.cli import inference_multi_classes, train3d_multi_class
+
+    # multi-class labels: reuse the binary volumes, add a class-2 blob
+    data = os.path.join(workspace["root"], "data_mc")
+    os.makedirs(os.path.join(data, "image"), exist_ok=True)
+    os.makedirs(os.path.join(data, "label"), exist_ok=True)
+    rng = np.random.default_rng(5)
+    for i in range(4):
+        img = rng.normal(40.0, 60.0, (8, 32, 32)).astype(np.float32)
+        lbl = np.zeros((8, 32, 32), np.uint8)
+        lbl[2:5, 8:20, 10:22] = 1
+        lbl[3:5, 12:16, 12:16] = 2
+        np.save(os.path.join(data, "image", f"{i:04d}.npy"), img)
+        np.save(os.path.join(data, "label", f"{i:04d}.npy"), lbl)
+
+    args = _train_args(workspace, str(tmp_path))
+    args.dir_data = data
+    args.dim_output = 3
+    args.num_classes = 3
+    args.criterion_list = ("CrossEntroLoss", "DiceClassLoss", "DiceClassLoss2")
+    args.criterion_weight = (10.0, 1.0, 2.0)
+    train3d_multi_class.main(args)
+
+    out_root = os.path.join(str(tmp_path), "out")
+    run_dirs = os.listdir(out_root)
+    assert os.path.isdir(os.path.join(out_root, run_dirs[0], "fold_0",
+                                      "temp_model"))
+
+    cwd = os.getcwd()
+    os.chdir(str(tmp_path))
+    try:
+        infer_args = types.SimpleNamespace(
+            dir_data=data,
+            pretrained_dir=os.path.join(out_root, run_dirs[0]),
+            batch_size=1, depth_size=8, roi_size=32, sw_batch_size=1,
+            overlap=0.6, threshold=0.5,
+            criterion_list=("DiceClassLoss0", "DiceClassLoss",
+                            "DiceClassLoss2", "Recall2", "Precision2"),
+            is_save=True, saved_folder=str(tmp_path / "pred_mc"),
+            fold_nums=1, split_json=workspace["split"],
+            model_name="MaskTransUnet", num_layers=(8, 16, 32),
+            roi_size_list=(8, 6, 4), is_roi_list=(False, True, True),
+            dim_input=1, dim_output=3, kernel_size=3,
+            compute_dtype="float32", num_classes=3)
+        inference_multi_classes.main(infer_args)
+        preds = os.listdir(str(tmp_path / "pred_mc"))
+        assert preds
+        vol = np.load(os.path.join(str(tmp_path / "pred_mc"), preds[0]))
+        assert vol.shape == (8, 32, 32)
+        assert vol.dtype == np.uint8
+        assert set(np.unique(vol)) <= {0, 1, 2}
+    finally:
+        os.chdir(cwd)
