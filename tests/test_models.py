@@ -156,3 +156,45 @@ def test_golden_parity_train_probabilities(reference_modules, rng):
     for got_m, ref_m in zip(masks, ref_masks):
         np.testing.assert_allclose(
             to_ncdhw(got_m), ref_m.numpy(), rtol=1e-3, atol=2e-4)
+
+
+def test_baseline_config1_forward_plus_dice_parity(reference_modules, rng):
+    """BASELINE.json config 1: MaskTransUnet forward + Dice loss on one patch
+    must match the reference numerically (forward through converted weights,
+    DiceClassLoss on both sides)."""
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from loss.criterions import DiceClassLoss as TorchDice
+    finally:
+        sys.path.pop(0)
+
+    from lintransunet_tpu.losses.binary import DiceClassLoss
+
+    TorchMaskTransUnet = reference_modules
+    torch.manual_seed(2)
+    tm = TorchMaskTransUnet(
+        num_layers=list(SMALL["num_layers"]),
+        roi_size_list=list(SMALL["roi_size_list"]),
+        is_roi_list=list(SMALL["is_roi_list"]),
+        dim_input=1, dim_output=2, kernel_size=3)
+    tm.eval()
+
+    x_ncdhw = rng.standard_normal((1, 1, 64, 64, 8)).astype(np.float32)
+    label = (rng.random((1, 1, 64, 64, 8)) > 0.8).astype(np.int64)
+    with torch.no_grad():
+        bottle, skips = tm.encode(torch.from_numpy(x_ncdhw))
+        ref_prob, _ = tm.decode(bottle, skips)
+        ref_dice = float(TorchDice()(ref_prob, torch.from_numpy(label)))
+
+    model = MaskTransUnet(**SMALL)
+    x = jnp.asarray(from_ncdhw(x_ncdhw))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    params = convert_state_dict(
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()},
+        variables["params"])
+    out, _ = model.apply({"params": params}, x, train=False, return_aux=True)
+    got_dice = float(DiceClassLoss()(out, jnp.asarray(label[:, 0])))
+
+    assert got_dice == pytest.approx(ref_dice, rel=1e-4, abs=1e-5)
