@@ -42,7 +42,6 @@ def get_parse():
 
 
 def main(args):
-    import jax
     import jax.numpy as jnp
 
     from lintransunet_tpu import engine

@@ -43,7 +43,7 @@ def main(args):
     import jax
     import jax.numpy as jnp
 
-    from lintransunet_tpu import engine, parallel
+    from lintransunet_tpu import engine
     from lintransunet_tpu.cli.common import build_model, get_criterion_list, run_dirs
     from lintransunet_tpu.data import DataLoader, EvaPanCTDataset, IdPosPanCTDataset
     from lintransunet_tpu.data.split import load_fold

@@ -8,7 +8,7 @@ dataclasses, so the flags stay in one place.
 """
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass
@@ -123,8 +123,6 @@ class InferenceConfig:
 
 def add_dataclass_args(parser, config) -> None:
     """Register every dataclass field as an argparse flag (lists comma-split)."""
-    import argparse
-
     for field in dataclasses.fields(config):
         default = getattr(config, field.name)
         if isinstance(default, bool):

@@ -9,7 +9,7 @@ lives in lintransunet_tpu/native (used automatically when built).
 
 import queue
 import threading
-from typing import Iterator, Optional, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 

@@ -9,7 +9,6 @@ torch is importable (it is in this image) unless disabled.
 import json
 import os
 import time
-from typing import Optional
 
 
 class MetricWriter:

@@ -15,7 +15,7 @@ utils/utils_3D_multi_class.py:21-144) with a single compiled train step:
   mutable state, not a compile-time constant.
 """
 
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

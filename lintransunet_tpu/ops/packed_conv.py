@@ -20,8 +20,6 @@ Packed kernels are 4x the FLOPs but run at ~8x the efficiency, and every
 surrounding elementwise/norm op sees a 4x-fuller minor dim.
 """
 
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 
