@@ -12,10 +12,18 @@ What was learned (full notes in memory/tpu-conv-efficiency):
 - Mosaic rejects concatenating sublane-shifted slices along lanes
   ("result/input offset mismatch on non-concat dimension") — use separate
   dots per depth tap;
-- round-2 path to an actual win: the folded weight matrix W is full-dense
-  only for dp=1; dp=0/dp=2 blocks are quarter-dense (single input parity) —
-  splitting those into (M, 64)@(64, 128) dots cuts inflation from 2x to
-  1.33x, projecting ~42 TFLOP/s-equivalent (+40% over XLA).
+- the split-weight variant (1.33x inflation: dense dp=1 block + two
+  half-K dots for the quarter-dense dp=0/2 parities) was ALSO measured at
+  ~28 TFLOP/s-equivalent — identical to the 2x-inflation version. The
+  kernel is NOT MXU-bound: each of the 27 taps slices a shifted view of the
+  VMEM tile, and Mosaic materialises every strided slice as a copy
+  (~2 MB x 27 per tile = ~14 GB of VMEM copy traffic per conv), putting the
+  op at ~67 FLOP/byte, far below the ~240 FLOP/byte v5e ridge. XLA's ~30
+  TFLOP/s-equivalent appears to be the same memory-bound ceiling.
+- round-2 path to an actual win: an output-stationary row-streaming kernel
+  that keeps a sliding window of input rows resident in VMEM scratch
+  (explicit double-buffered DMA) and reuses each loaded row across all
+  taps that touch it, instead of re-slicing per tap.
 
 Run directly: python experiments/pallas_conv_prototype.py (needs the TPU).
 """
