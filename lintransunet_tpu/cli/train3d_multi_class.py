@@ -43,6 +43,20 @@ def get_parse():
     return parser.parse_args()
 
 
+def _restore(args, fold_num, state, engine):
+    """Resume: prefer the full train-state artifact (params + step survive,
+    improving on the reference's params-only torch.save resume,
+    train3D.py:113-117); fall back to the best-params artifact."""
+    full = os.path.join(args.pretrained_dir, f"fold_{fold_num}", "train_state")
+    if os.path.isdir(full):
+        restored = engine.restore_checkpoint(full)["state"]
+        return state.replace(params=restored["params"],
+                             step=int(restored["step"]))
+    params = engine.restore_params(os.path.join(
+        args.pretrained_dir, f"fold_{fold_num}", "temp_model"))
+    return state.replace(params=params)
+
+
 def main(args):
     import jax
     import jax.numpy as jnp
@@ -77,9 +91,7 @@ def main(args):
         model, jax.random.PRNGKey(args.seed), sample,
         learning_rate=args.learning_rate, step_times=step_times)
     if args.is_pretrained:
-        params = engine.restore_params(os.path.join(
-            args.pretrained_dir, f"fold_{fold_num}", "temp_model"))
-        state = state.replace(params=params)
+        state = _restore(args, fold_num, state, engine)
 
     criterions, eval_criterions = get_multi_criterion_list(
         len(args.num_layers), args.criterion_list, loss_module)
@@ -128,6 +140,11 @@ def main(args):
                 engine.save_params(os.path.join(model_dir, "temp_model"),
                                    state.params)
                 print("Best eval loss", eval_loss)
+            # full-state checkpoint for true resume (engine/checkpoint.py)
+            engine.save_checkpoint(
+                os.path.join(model_dir, "train_state"),
+                {"params": jax.device_get(state.params),
+                 "step": int(state.step), "epoch": epoch})
 
         state, train_loss, global_step = loop.train_on_epoch(
             state, train_dl, step_fn, dynamic_weight,

@@ -180,3 +180,25 @@ def test_multiclass_train_and_inference_cli(workspace, tmp_path):
         assert set(np.unique(vol)) <= {0, 1, 2}
     finally:
         os.chdir(cwd)
+
+
+def test_full_state_resume(workspace, tmp_path):
+    """Resume from the full train-state artifact restores params + step."""
+    from lintransunet_tpu.cli import train3d
+
+    args = _train_args(workspace, str(tmp_path))
+    args.epochs = 1
+    args.eval_epoch = 1
+    train3d.main(args)
+
+    out_root = os.path.join(str(tmp_path), "out")
+    run_dir = os.path.join(out_root, os.listdir(out_root)[0])
+    assert os.path.isdir(os.path.join(run_dir, "fold_0", "train_state"))
+
+    # second run resuming from the first
+    args2 = _train_args(workspace, str(tmp_path))
+    args2.epochs = 1
+    args2.eval_epoch = 1
+    args2.is_pretrained = True
+    args2.pretrained_dir = run_dir
+    train3d.main(args2)
