@@ -5,7 +5,7 @@ space-to-channel packed layout (see ops/packed_conv.py for the measured
 rationale: ~3x on the top UNet level). Parameter names/shapes are identical
 to the standard path — kernels are stored unpacked and transformed at trace
 time — so checkpoints and the torch importer work unchanged, and
-``packed_top`` can be flipped freely between training and serving.
+``packed_levels`` can be flipped freely between training and serving.
 
 Packing convention throughout: channel-major, packed_channel = c*4 + a*2 + b
 for sub-position (a, b) == ops.patchify.windows_embedding(kernel_size=2).
