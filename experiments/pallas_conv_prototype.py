@@ -20,10 +20,16 @@ What was learned (full notes in memory/tpu-conv-efficiency):
   (~2 MB x 27 per tile = ~14 GB of VMEM copy traffic per conv), putting the
   op at ~67 FLOP/byte, far below the ~240 FLOP/byte v5e ridge. XLA's ~30
   TFLOP/s-equivalent appears to be the same memory-bound ceiling.
-- round-2 path to an actual win: an output-stationary row-streaming kernel
-  that keeps a sliding window of input rows resident in VMEM scratch
-  (explicit double-buffered DMA) and reuses each loaded row across all
-  taps that touch it, instead of re-slicing per tap.
+- also measured at the same ~28: hoisting the sublane-dim slice out of the
+  tap loop, and replacing the (h, w, p) -> M reshape with a direct 4D
+  dot_general (contraction over lanes only). The stability of 28 across
+  four formulations suggests Mosaic's generated pipeline for this shape is
+  the ceiling, matching XLA's own conv lowering (~30).
+- round-2 path if conv perf must improve: an output-stationary
+  row-streaming kernel with explicit double-buffered DMA and manual
+  register-level reuse across taps — or accept that this conv shape is at
+  its lowering ceiling and win elsewhere (fewer FLOPs via architecture-level
+  choices, e.g. smaller eval windows at equal Dice).
 
 Run directly: python experiments/pallas_conv_prototype.py (needs the TPU).
 """
