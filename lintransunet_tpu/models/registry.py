@@ -149,6 +149,7 @@ class MaskTransUnet(nn.Module):
     kernel_size: int = 3
     dropout: float = 0.3
     packed_levels: int = 0
+    n_layers: int = 8
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -169,6 +170,7 @@ class MaskTransUnet(nn.Module):
             dim_output=self.dim_output,
             dropout=self.dropout,
             packed_levels=self.packed_levels,
+            n_layers=self.n_layers,
             # eval branch one-hots the argmax, which softmax cannot change —
             # skip the full-resolution f32 softmax there
             apply_softmax=return_aux,
