@@ -57,7 +57,7 @@ def build_model(args) -> "ModelConfig":
 
 
 def run_dirs(log_dir: str, model_dir: str, fold_num: int):
-    stamp = time.strftime("%Y%m%d-%H_2")
+    stamp = time.strftime("%Y%m%d-%H_%M_%S")
     log = os.path.join(log_dir, stamp, f"fold_{fold_num}")
     model = os.path.join(model_dir, stamp, f"fold_{fold_num}")
     os.makedirs(log, exist_ok=True)

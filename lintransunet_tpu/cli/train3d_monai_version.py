@@ -75,10 +75,16 @@ def main(args):
     state = engine.create_train_state(
         model, jax.random.PRNGKey(args.seed), sample,
         learning_rate=args.learning_rate, step_times=1)
+    resume_aux = {}
     if args.is_pretrained:
-        params = engine.restore_params(os.path.join(
-            args.pretrained_dir, f"fold_{fold_num}", "temp_model"))
-        state = state.replace(params=params)
+        full = os.path.join(args.pretrained_dir, f"fold_{fold_num}",
+                            "train_state")
+        if os.path.isdir(full):
+            state, resume_aux = engine.restore_train_state(full, state)
+        else:
+            params = engine.restore_params(os.path.join(
+                args.pretrained_dir, f"fold_{fold_num}", "temp_model"))
+            state = state.replace(params=params)
 
     criterions, eval_criterions = get_multi_criterion_list(
         len(args.num_layers), args.criterion_list, loss_module)
@@ -96,6 +102,9 @@ def main(args):
         lr=args.learning_rate, factor=args.plateau_factor,
         patience=args.plateau_patience, threshold=args.plateau_threshold,
         cooldown=args.plateau_cooldown, min_lr=args.min_lr)
+    if resume_aux.get("scheduler"):
+        scheduler = engine.ReduceLROnPlateau(**resume_aux["scheduler"])
+        state = engine.set_learning_rate(state, scheduler.lr)
 
     log_dir, model_dir = run_dirs(args.log_dir, args.model_dir, fold_num)
     writer = engine.MetricWriter(log_dir)
@@ -105,11 +114,12 @@ def main(args):
         weight_list=args.weight_list, initial_weight=args.initial_weight,
         final_weight=args.final_weight)
 
-    best_eval_loss = float("inf")
-    global_step = 0
+    best_eval_loss = resume_aux.get("best_eval_loss", float("inf"))
+    global_step = resume_aux.get("global_step", 0)
+    start_epoch = resume_aux.get("epoch", -1) + 1
     jax_rng = jax.random.PRNGKey(args.seed + 1)
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         dynamic_weight = dynamic_weight_list[epoch]
         if epoch < args.warmup_step:
             dynamic_weight = dynamic_weight_list[0]
@@ -143,6 +153,12 @@ def main(args):
                           global_step)
         print(f"epoch {epoch}: train loss {epoch_loss / max(n, 1):.5f}")
         global_step += 1
+        if epoch % args.eval_epoch == 0:
+            engine.save_train_state(
+                os.path.join(model_dir, "train_state"), state,
+                aux={"epoch": epoch, "best_eval_loss": best_eval_loss,
+                     "global_step": global_step,
+                     "scheduler": scheduler.state_dict()})
 
     engine.save_checkpoint(os.path.join(model_dir, "model"),
                            {"params": state.params})

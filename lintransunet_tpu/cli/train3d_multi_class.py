@@ -44,17 +44,15 @@ def get_parse():
 
 
 def _restore(args, fold_num, state, engine):
-    """Resume: prefer the full train-state artifact (params + step survive,
-    improving on the reference's params-only torch.save resume,
-    train3D.py:113-117); fall back to the best-params artifact."""
+    """Resume: prefer the full train-state artifact (params, optimiser
+    moments, step, epoch, best loss and plateau-scheduler state all
+    survive); fall back to the best-params artifact. Returns (state, aux)."""
     full = os.path.join(args.pretrained_dir, f"fold_{fold_num}", "train_state")
     if os.path.isdir(full):
-        restored = engine.restore_checkpoint(full)["state"]
-        return state.replace(params=restored["params"],
-                             step=int(restored["step"]))
+        return engine.restore_train_state(full, state)
     params = engine.restore_params(os.path.join(
         args.pretrained_dir, f"fold_{fold_num}", "temp_model"))
-    return state.replace(params=params)
+    return state.replace(params=params), {}
 
 
 def main(args):
@@ -90,8 +88,9 @@ def main(args):
     state = engine.create_train_state(
         model, jax.random.PRNGKey(args.seed), sample,
         learning_rate=args.learning_rate, step_times=step_times)
+    resume_aux = {}
     if args.is_pretrained:
-        state = _restore(args, fold_num, state, engine)
+        state, resume_aux = _restore(args, fold_num, state, engine)
 
     criterions, eval_criterions = get_multi_criterion_list(
         len(args.num_layers), args.criterion_list, loss_module)
@@ -109,6 +108,9 @@ def main(args):
         lr=args.learning_rate, factor=args.plateau_factor,
         patience=args.plateau_patience, threshold=args.plateau_threshold,
         cooldown=args.plateau_cooldown, min_lr=args.min_lr)
+    if resume_aux.get("scheduler"):
+        scheduler = engine.ReduceLROnPlateau(**resume_aux["scheduler"])
+        state = engine.set_learning_rate(state, scheduler.lr)
 
     log_dir, model_dir = run_dirs(args.log_dir, args.model_dir, fold_num)
     writer = engine.MetricWriter(log_dir)
@@ -118,12 +120,13 @@ def main(args):
         weight_list=args.weight_list, initial_weight=args.initial_weight,
         final_weight=args.final_weight)
 
-    best_eval_loss = float("inf")
-    global_step = 0
+    best_eval_loss = resume_aux.get("best_eval_loss", float("inf"))
+    global_step = resume_aux.get("global_step", 0)
+    start_epoch = resume_aux.get("epoch", -1) + 1
     host_rng = np.random.default_rng(args.seed)
     jax_rng = jax.random.PRNGKey(args.seed + 1)
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         dynamic_weight = dynamic_weight_list[epoch]
         if epoch < args.warmup_step:
             dynamic_weight = dynamic_weight_list[0]
@@ -140,11 +143,6 @@ def main(args):
                 engine.save_params(os.path.join(model_dir, "temp_model"),
                                    state.params)
                 print("Best eval loss", eval_loss)
-            # full-state checkpoint for true resume (engine/checkpoint.py)
-            engine.save_checkpoint(
-                os.path.join(model_dir, "train_state"),
-                {"params": jax.device_get(state.params),
-                 "step": int(state.step), "epoch": epoch})
 
         state, train_loss, global_step = loop.train_on_epoch(
             state, train_dl, step_fn, dynamic_weight,
@@ -155,6 +153,14 @@ def main(args):
         writer.add_scalar("lr_rate", engine.get_learning_rate(state),
                           global_step)
         print(f"epoch {epoch}: train loss {train_loss:.5f}")
+        if epoch % args.eval_epoch == 0:
+            # full-state checkpoint AFTER the epoch's training so resume
+            # continues exactly at epoch+1 (engine/checkpoint.py)
+            engine.save_train_state(
+                os.path.join(model_dir, "train_state"), state,
+                aux={"epoch": epoch, "best_eval_loss": best_eval_loss,
+                     "global_step": global_step,
+                     "scheduler": scheduler.state_dict()})
 
     engine.save_checkpoint(os.path.join(model_dir, "model"),
                            {"params": state.params})

@@ -89,7 +89,9 @@ class IdPosPanCTDataset(_NpyVolumeDataset):
         for i in range(self.num_samples):
             ii, ll = imgs[i], labels[i]
             if self.is_transform:
-                ii, ll = T.rand_rotate(ii, ll, np.pi / 9, rng, prob=1.0)
+                # MONAI RandRotated fires with default prob=0.1; the
+                # reference passes no prob (CT_pancreas_ids.py:122-127)
+                ii, ll = T.rand_rotate(ii, ll, np.pi / 9, rng, prob=0.1)
                 ii = T.rand_adjust_contrast(ii, rng, prob=self.prob)
                 ii, ll = T.rand_zoom(ii, ll, rng, prob=self.prob,
                                      min_zoom=0.7, max_zoom=1.3)

@@ -63,10 +63,14 @@ class DataLoader:
                     i, idxs = work.get_nowait()
                 except queue.Empty:
                     return
-                items = [self.dataset[int(j)] for j in idxs]
-                fields = list(zip(*items))
-                batch = tuple(np.stack(f) for f in fields)
-                done.put((i, batch))
+                try:
+                    items = [self.dataset[int(j)] for j in idxs]
+                    fields = list(zip(*items))
+                    batch = tuple(np.stack(f) for f in fields)
+                except BaseException as exc:  # propagate, don't hang
+                    done.put((i, exc))
+                else:
+                    done.put((i, batch))
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -75,12 +79,19 @@ class DataLoader:
         try:
             next_i = 0
             pending = {}
-            received = 0
             while next_i < len(batches):
                 while next_i not in pending:
-                    i, batch = done.get()
+                    try:
+                        i, batch = done.get(timeout=5.0)
+                    except queue.Empty:
+                        if not any(t.is_alive() for t in threads):
+                            raise RuntimeError(
+                                "DataLoader workers exited without producing "
+                                f"batch {next_i}")
+                        continue
+                    if isinstance(batch, BaseException):
+                        raise batch
                     pending[i] = batch
-                    received += 1
                 yield pending.pop(next_i)
                 next_i += 1
         finally:

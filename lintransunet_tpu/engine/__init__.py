@@ -6,6 +6,8 @@ from lintransunet_tpu.engine.checkpoint import (
     restore_params,
     save_checkpoint,
     save_params,
+    save_train_state,
+    restore_train_state,
 )
 from lintransunet_tpu.engine.metrics import MetricWriter, NullWriter
 from lintransunet_tpu.engine.schedule import (
@@ -43,6 +45,8 @@ __all__ = [
     "restore_checkpoint",
     "save_params",
     "restore_params",
+    "save_train_state",
+    "restore_train_state",
     "MetricWriter",
     "NullWriter",
     "ReduceLROnPlateau",

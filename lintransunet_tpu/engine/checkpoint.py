@@ -7,8 +7,9 @@ resume continues the optimiser and LR schedule instead of restarting them
 (the reference loses both, SURVEY.md section 5.4).
 """
 
+import json
 import os
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import orbax.checkpoint as ocp
@@ -31,6 +32,43 @@ def restore_checkpoint(path: str, target_state: Any = None) -> dict:
     if target_state is not None:
         return ckpt.restore(path, item={"state": target_state, "aux": None})
     return ckpt.restore(path)
+
+
+def save_train_state(path: str, state: Any, aux: Optional[dict] = None) -> None:
+    """Full-train-state artifact: params + optimiser state + step.
+
+    This is what makes resume exact — the reference's ``torch.save`` keeps
+    params only (utils_3D_embed_full.py:171-175), so its resumes restart
+    the AdamW moments and every schedule. Small host metadata (epoch,
+    best_eval_loss, scheduler fields) goes into a JSON sidecar next to the
+    orbax tree.
+    """
+    payload = {"params": jax.device_get(state.params),
+               "opt_state": jax.device_get(state.opt_state),
+               "step": int(state.step)}
+    save_checkpoint(path, payload)
+    if aux is not None:
+        with open(os.path.abspath(path) + ".aux.json", "w") as f:
+            json.dump(aux, f)
+
+
+def restore_train_state(path: str, state: Any) -> Tuple[Any, dict]:
+    """Restore into ``state`` (the template supplies the pytree structure,
+    so optax NamedTuple states come back typed). Returns (state, aux)."""
+    path = os.path.abspath(path)
+    target = {"state": {"params": jax.device_get(state.params),
+                        "opt_state": jax.device_get(state.opt_state),
+                        "step": int(state.step)}}
+    restored = ocp.PyTreeCheckpointer().restore(path, item=target)["state"]
+    aux = {}
+    aux_path = path + ".aux.json"
+    if os.path.exists(aux_path):
+        with open(aux_path) as f:
+            aux = json.load(f)
+    state = state.replace(params=restored["params"],
+                          opt_state=restored["opt_state"],
+                          step=int(restored["step"]))
+    return state, aux
 
 
 def save_params(path: str, params: Any) -> None:

@@ -103,7 +103,11 @@ def eval_on_epoch(
         images = images.reshape((-1,) + images.shape[2:])
         masks = masks.reshape((-1,) + masks.shape[2:])
         predict = runner(jnp.asarray(images), *runner_args)
-        predict = (predict >= threshold).astype(jnp.float32)
+        if num_classes is None:
+            # binary path binarises at 0.5 (utils_3D_embed_full.py:153);
+            # the multi-class eval defines a threshold but never applies it
+            # (utils_3D_multi_class.py:168) — criterions see raw blends
+            predict = (predict >= threshold).astype(jnp.float32)
         if num_classes is not None:
             target = one_hot(
                 jnp.asarray(masks.astype(np.int32)).reshape(masks.shape[0], -1),

@@ -57,6 +57,10 @@ class ReduceLROnPlateau:
     num_bad_epochs: int = 0
     cooldown_counter: int = 0
 
+    def state_dict(self) -> dict:
+        """JSON-serialisable full state (for train-state checkpoints)."""
+        return dataclasses.asdict(self)
+
     def step(self, metric: float) -> float:
         if metric < self.best * (1.0 - self.threshold):  # rel improvement
             self.best = metric

@@ -114,6 +114,8 @@ def sliding_window_inference(
     norm: Optional[Array] = None,
     importance: Optional[Array] = None,
     predictor_args: tuple = (),
+    window_starts: Optional[Array] = None,
+    window_weights: Optional[Array] = None,
 ) -> Array:
     """Blend per-window predictions over a full volume.
 
@@ -124,16 +126,24 @@ def sliding_window_inference(
     for tests). ``predictor_args`` (e.g. model params) are threaded through
     as traced operands so they are NOT baked into the compiled program.
     ``sigma_scale=0`` with mode='constant' reproduces the reference call.
+
+    ``window_starts`` ((n_chunks, sw_batch_size, 3) int32) and
+    ``window_weights`` ((n_chunks, sw_batch_size) f32) override the
+    trace-time window grid as runtime OPERANDS: the compiled program then
+    depends only on the chunk count, so a shape-bucketing caller (the
+    runner) can key its jit cache on padded shapes while blending with the
+    exact MONAI grid of the real extent. ``norm`` must be supplied with
+    them. Weight-0 entries are pad windows whose predictions vanish.
     """
     n, *orig_spatial, _ = inputs.shape
     roi_size = tuple(int(r) for r in roi_size)
     x, pads = _pad_to_roi(inputs, roi_size)
     _, h, w, d, c = x.shape
 
-    starts = dense_window_starts((h, w, d), roi_size, overlap)
-    num_windows = starts.shape[0]
-
     if norm is None:
+        if window_starts is not None:
+            raise ValueError("explicit window_starts requires an explicit "
+                             "norm map (the grid is unknown at trace time)")
         norm = jnp.asarray(
             normalisation_map((h, w, d), roi_size, overlap, mode, sigma_scale))
     norm_c = norm[None, :, :, :, None]
@@ -144,16 +154,24 @@ def sliding_window_inference(
             importance = jnp.asarray(gaussian_importance(roi_size, sigma_scale))
         imp_c = importance[None, :, :, :, None]
 
-    # Pad the window list to a multiple of sw_batch_size; padded windows get
-    # weight 0 so their predictions vanish in the blend.
-    n_chunks = int(math.ceil(num_windows / sw_batch_size))
-    padded = n_chunks * sw_batch_size
-    weights = np.ones(padded, np.float32)
-    weights[num_windows:] = 0.0
-    starts_p = np.concatenate(
-        [starts, np.zeros((padded - num_windows, 3), np.int32)], axis=0)
-    starts_j = jnp.asarray(starts_p).reshape(n_chunks, sw_batch_size, 3)
-    weights_j = jnp.asarray(weights).reshape(n_chunks, sw_batch_size)
+    if window_starts is not None:
+        starts_j = window_starts
+        weights_j = window_weights
+        n_chunks = starts_j.shape[0]
+        assert weights_j is not None and weights_j.shape == starts_j.shape[:2]
+    else:
+        starts = dense_window_starts((h, w, d), roi_size, overlap)
+        num_windows = starts.shape[0]
+        # Pad the window list to a multiple of sw_batch_size; padded windows
+        # get weight 0 so their predictions vanish in the blend.
+        n_chunks = int(math.ceil(num_windows / sw_batch_size))
+        padded = n_chunks * sw_batch_size
+        weights = np.ones(padded, np.float32)
+        weights[num_windows:] = 0.0
+        starts_p = np.concatenate(
+            [starts, np.zeros((padded - num_windows, 3), np.int32)], axis=0)
+        starts_j = jnp.asarray(starts_p).reshape(n_chunks, sw_batch_size, 3)
+        weights_j = jnp.asarray(weights).reshape(n_chunks, sw_batch_size)
 
     if out_channels is None:
         probe = jax.eval_shape(
@@ -196,14 +214,18 @@ def sliding_window_inference(
 class SlidingWindowRunner:
     """Shape-bucketing jit cache around sliding_window_inference.
 
-    Volumes in a CT dataset vary in depth; bucketing depth up to a multiple
-    of ``depth_bucket`` keeps the number of compiled programs small while the
-    static window grid keeps each program fully fused. Normalisation maps are
-    device operands, cached per shape alongside the compiled program.
+    Volumes in a CT dataset vary in depth. The window grid and the
+    normalisation map are always those of the REAL extent (after MONAI's
+    symmetric pad-to-roi only), matching ``monai.inferers`` exactly — no
+    window ever reads bucket-pad zeros. Bucketing pads the depth up to a
+    multiple of ``depth_bucket`` and the window list up to a chunk multiple,
+    both zero-cost for the blend, so one compiled program (keyed on padded
+    shape + chunk count) serves every real depth in the bucket.
     """
 
     def __init__(self, predictor, roi_size, sw_batch_size, overlap=0.6,
-                 mode="constant", sigma_scale=0.0, depth_bucket=32):
+                 mode="constant", sigma_scale=0.0, depth_bucket=32,
+                 chunk_bucket=2):
         self.predictor = predictor
         self.roi_size = tuple(roi_size)
         self.sw_batch_size = sw_batch_size
@@ -211,19 +233,45 @@ class SlidingWindowRunner:
         self.mode = mode
         self.sigma_scale = sigma_scale
         self.depth_bucket = depth_bucket
-        self._cache = {}
+        self.chunk_bucket = chunk_bucket
+        self._programs = {}
+        self._grids = {}
+        self._imp = None
 
-    def _compiled(self, shape):
-        if shape not in self._cache:
-            spatial = padded_spatial_shape(shape[1:4], self.roi_size)
-            norm = jax.device_put(normalisation_map(
-                spatial, self.roi_size, self.overlap, self.mode,
-                self.sigma_scale))
-            imp = None
-            if self.mode == "gaussian":
-                imp = jax.device_put(
-                    gaussian_importance(self.roi_size, self.sigma_scale))
-            fn = jax.jit(functools.partial(
+    def _grid(self, real_shape):
+        """Per real volume shape: (starts, weights, norm) with the MONAI
+        grid of the pad-to-roi extent, bucket-padded as blend no-ops."""
+        if real_shape in self._grids:
+            return self._grids[real_shape]
+        spatial = padded_spatial_shape(real_shape[1:4], self.roi_size)
+        starts = dense_window_starts(spatial, self.roi_size, self.overlap)
+        num_windows = starts.shape[0]
+        n_chunks = int(math.ceil(num_windows / self.sw_batch_size))
+        n_chunks = int(math.ceil(n_chunks / self.chunk_bucket)) * self.chunk_bucket
+        padded = n_chunks * self.sw_batch_size
+        weights = np.ones(padded, np.float32)
+        weights[num_windows:] = 0.0
+        starts = np.concatenate(
+            [starts, np.zeros((padded - num_windows, 3), np.int32)], axis=0)
+
+        norm = normalisation_map(spatial, self.roi_size, self.overlap,
+                                 self.mode, self.sigma_scale)
+        pad_d = (-spatial[2]) % self.depth_bucket
+        if pad_d:  # bucket region: no contributions, keep the divide benign
+            norm = np.pad(norm, ((0, 0), (0, 0), (0, pad_d)),
+                          constant_values=1.0)
+        grid = (
+            jax.device_put(starts.reshape(n_chunks, self.sw_batch_size, 3)),
+            jax.device_put(weights.reshape(n_chunks, self.sw_batch_size)),
+            jax.device_put(norm),
+        )
+        self._grids[real_shape] = grid
+        return grid
+
+    def _compiled(self, padded_shape, n_chunks):
+        key = (padded_shape, n_chunks)
+        if key not in self._programs:
+            self._programs[key] = jax.jit(functools.partial(
                 sliding_window_inference,
                 roi_size=self.roi_size,
                 sw_batch_size=self.sw_batch_size,
@@ -231,20 +279,26 @@ class SlidingWindowRunner:
                 overlap=self.overlap,
                 mode=self.mode,
                 sigma_scale=self.sigma_scale,
-            ), static_argnames=())
-            self._cache[shape] = (fn, norm, imp)
-        return self._cache[shape]
+            ))
+        return self._programs[key]
 
     def __call__(self, volume: Array, *predictor_args) -> Array:
         """predictor_args (e.g. params) are traced operands, safe to update
         between calls without recompiling or staling."""
         n, h, w, d, c = volume.shape
-        pad_d = (-d) % self.depth_bucket
+        starts, weights, norm = self._grid(volume.shape)
+        if self.mode == "gaussian" and self._imp is None:
+            self._imp = jax.device_put(
+                gaussian_importance(self.roi_size, self.sigma_scale))
+
+        # symmetric pad-to-roi (MONAI), then end-pad depth to the bucket
+        d_roi = max(d, self.roi_size[2])
+        pad_d = (-d_roi) % self.depth_bucket
         if pad_d:
-            volume = jnp.pad(volume, ((0, 0), (0, 0), (0, 0), (0, pad_d), (0, 0)))
-        fn, norm, imp = self._compiled(volume.shape)
-        out = fn(volume, norm=norm, importance=imp,
-                 predictor_args=predictor_args)
-        if pad_d:
-            out = out[:, :, :, :d]
-        return out
+            volume = jnp.pad(volume,
+                             ((0, 0), (0, 0), (0, 0), (0, pad_d), (0, 0)))
+        fn = self._compiled(volume.shape, starts.shape[0])
+        out = fn(volume, norm=norm, importance=self._imp,
+                 predictor_args=predictor_args,
+                 window_starts=starts, window_weights=weights)
+        return out[:, :, :, :d] if out.shape[3] != d else out

@@ -101,13 +101,15 @@ class MultiheadLinearAttention(nn.Module):
         if src_mask is not None:
             src_mask = src_mask[:, None]  # (B, 1, N, 1)
             x = ops.linear_attention(q, k, v, mask=src_mask)
-        elif jax.default_backend() != "cpu":
-            # fused Pallas kernel on TPU (ops/pallas_attention.py)
-            from lintransunet_tpu.ops.pallas_attention import linear_attention_pallas
-
-            x = linear_attention_pallas(q, k, v)
         else:
-            x = ops.linear_attention(q, k, v)
+            from lintransunet_tpu.ops.pallas_attention import (
+                linear_attention_pallas, pallas_supported)
+
+            if pallas_supported():
+                # fused Pallas kernel on TPU (ops/pallas_attention.py)
+                x = linear_attention_pallas(q, k, v)
+            else:
+                x = ops.linear_attention(q, k, v)
         x = x.transpose(0, 2, 1, 3).reshape(n_batch, -1, self.d_model)
         return dense(3)(x)
 

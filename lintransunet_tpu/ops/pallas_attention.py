@@ -28,6 +28,21 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
+def pallas_supported() -> bool:
+    """Explicit capability probe for the fused TPU kernel.
+
+    Only TPU-family backends (incl. the axon tunnel) can run the Mosaic
+    kernel; a GPU backend must NOT be routed here just because it isn't
+    "cpu". ``LINTRANSUNET_USE_PALLAS=0/1`` force-overrides for experiments.
+    """
+    import os
+
+    override = os.environ.get("LINTRANSUNET_USE_PALLAS")
+    if override is not None:
+        return override not in ("0", "false", "False")
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref):
     """q/k/v refs: (1, d, N) blocks in VMEM; o: (1, d_v, N)."""
     q = q_ref[0].astype(jnp.float32)

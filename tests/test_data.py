@@ -137,3 +137,33 @@ def test_loader_prefetch_order(data_root):
     depths = [img.shape[4] for img, _ in dl]  # (B, 1, H, W, D, 1)
     assert depths == [12, 14, 16, 18]  # in-order delivery despite threading
     assert len(dl) == 4
+
+
+def test_loader_propagates_worker_exceptions():
+    class Boom:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise ValueError("bad sample")
+            return (np.zeros((2, 2), np.float32),)
+
+    dl = DataLoader(Boom(), batch_size=1, num_workers=2)
+    with pytest.raises(ValueError, match="bad sample"):
+        list(dl)
+
+
+def test_rand_rotate_fires_at_monai_default_rate(data_root):
+    """RandRotated defaults to prob=0.1 (the reference passes no prob);
+    most training samples must come through unrotated."""
+    ds = IdPosPanCTDataset(root=data_root, depth_size=4, num_samples=4,
+                           is_transform=True, ids=[0, 1], image_crop=16,
+                           seed=0)
+    import inspect
+
+    from lintransunet_tpu.data import datasets as D
+
+    src = inspect.getsource(D)
+    assert "rand_rotate" in src
+    assert "prob=1.0" not in src.split("rand_rotate(")[1][:120]

@@ -141,7 +141,7 @@ def test_runner_depth_bucketing(rng):
         out = runner(vol)
         assert out.shape == vol.shape
         np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-6)
-    assert len(runner._cache) == 1  # both depths bucketed to 8
+    assert len(runner._programs) == 1  # both depths bucketed to 8
 
 
 def test_checkpoint_roundtrip(tmp_path, model_and_state):
@@ -193,3 +193,70 @@ def test_weight_schedule_matches_reference():
     assert len(table) == 20 and len(table[0]) == 2
     assert table[0][0] == table[10][0]  # warmup holds t=0
     assert table[19][0] > table[10][0]
+
+
+def test_runner_depth_bucketing_matches_unbucketed(rng):
+    """Bucket padding must not leak zero context into real-depth voxels.
+
+    D=14 with roi depth 8 and depth_bucket 8: the runner pads to 16, but the
+    window grid/blend must be that of the real 14-deep volume (MONAI pads
+    only to roi) — windows start at {0, 6}, never inside the pad.
+    """
+    vol = rng.standard_normal((1, 8, 8, 14, 1)).astype(np.float32)
+
+    def predictor(x):
+        return jnp.concatenate([x, 2.0 * x], axis=-1)
+
+    direct = engine.sliding_window_inference(
+        jnp.asarray(vol), (8, 8, 8), 2, predictor, overlap=0.25)
+    runner = engine.SlidingWindowRunner(
+        predictor, (8, 8, 8), 2, overlap=0.25, depth_bucket=8)
+    bucketed = runner(jnp.asarray(vol))
+    assert bucketed.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(bucketed), np.asarray(direct),
+                               atol=1e-6)
+
+
+def test_runner_shares_programs_across_depth_bucket(rng):
+    predictor = lambda x: x
+    runner = engine.SlidingWindowRunner(
+        predictor, (8, 8, 8), 1, overlap=0.25, depth_bucket=8, chunk_bucket=4)
+    for d in (9, 11, 14):
+        vol = rng.standard_normal((1, 8, 8, d, 1)).astype(np.float32)
+        out = runner(jnp.asarray(vol))
+        assert out.shape == (1, 8, 8, d, 1)
+        np.testing.assert_allclose(np.asarray(out)[..., 0], vol[..., 0],
+                                   atol=1e-5)
+    assert len(runner._programs) == 1  # one bucket -> one compiled program
+
+
+def test_full_train_state_resume(tmp_path, model_and_state):
+    """params + opt_state + step + host schedule state all survive resume."""
+    model, state = model_and_state
+    state = state.replace(step=7)
+    state = engine.set_learning_rate(state, 5e-4)
+    sched = engine.ReduceLROnPlateau(lr=5e-4, factor=0.5, patience=2)
+    sched.step(1.0)
+    sched.step(2.0)  # one bad epoch
+
+    path = str(tmp_path / "train_state")
+    engine.save_train_state(path, state, aux={
+        "epoch": 3, "best_eval_loss": 1.0, "global_step": 11,
+        "scheduler": sched.state_dict()})
+
+    fresh = engine.create_train_state(
+        model, jax.random.PRNGKey(9), jnp.zeros((2, 16, 16, 4, 1)),
+        learning_rate=1e-3, step_times=2)
+    got, aux = engine.restore_train_state(path, fresh)
+
+    assert int(got.step) == 7
+    np.testing.assert_allclose(engine.get_learning_rate(got), 5e-4, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(got.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(got.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert aux["epoch"] == 3 and aux["global_step"] == 11
+    restored_sched = engine.ReduceLROnPlateau(**aux["scheduler"])
+    assert restored_sched.num_bad_epochs == sched.num_bad_epochs
+    assert restored_sched.best == sched.best
