@@ -52,8 +52,47 @@ def build_model(args) -> "ModelConfig":
         dim_output=args.dim_output,
         kernel_size=args.kernel_size,
         compute_dtype=getattr(args, "compute_dtype", "bfloat16"),
+        attn_layers=getattr(args, "attn_layers", 8),
     )
     return cfg.build()
+
+
+def batched_predictions(loader, runner, params, mesh=None):
+    """Yield (index, images, masks, predict) per eval volume.
+
+    With ``mesh`` (a 1D data mesh), volumes are grouped mesh-size at a time
+    and run through ONE batch-sharded sliding-window program — each chip
+    blends its own volume (BASELINE config 5). Without a mesh this is the
+    plain per-volume path; outputs are identical either way.
+    """
+    import jax.numpy as jnp
+
+    if mesh is None:
+        for i, (images, masks) in enumerate(loader):
+            images = images.reshape((-1,) + images.shape[2:])
+            masks = masks.reshape((-1,) + masks.shape[2:])
+            yield i, images, masks, runner(jnp.asarray(images), params)
+        return
+
+    group = int(mesh.devices.size)
+    buf = []
+
+    def flush():
+        vols = [jnp.asarray(im) for (_, im, _) in buf]
+        pad = (-len(vols)) % group
+        vols = vols + [vols[0]] * pad  # pad group; extras discarded
+        preds = runner.run_batch(vols, params, mesh=mesh)
+        return [(i, im, mk, preds[j]) for j, (i, im, mk) in enumerate(buf)]
+
+    for i, (images, masks) in enumerate(loader):
+        images = images.reshape((-1,) + images.shape[2:])
+        masks = masks.reshape((-1,) + masks.shape[2:])
+        buf.append((i, images, masks))
+        if len(buf) == group:
+            yield from flush()
+            buf.clear()
+    if buf:
+        yield from flush()
 
 
 def run_dirs(log_dir: str, model_dir: str, fold_num: int):

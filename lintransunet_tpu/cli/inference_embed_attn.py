@@ -34,17 +34,22 @@ def get_parse():
     parser.add_argument("--dim_output", type=int, default=2)
     parser.add_argument("--kernel_size", type=int, default=3)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16")
+    parser.add_argument("--attn_layers", type=int, default=8)
     return parser.parse_args()
 
 
 def main(args):
+    import jax
     import jax.numpy as jnp
 
-    from lintransunet_tpu import engine
-    from lintransunet_tpu.cli.common import build_model
+    from lintransunet_tpu import engine, parallel
+    from lintransunet_tpu.cli.common import batched_predictions, build_model
     from lintransunet_tpu.data import DataLoader, EvaPanCTDataset
     from lintransunet_tpu.data.split import load_fold
     from lintransunet_tpu.losses import binary as loss_module
+
+    # batch-sharded multi-volume mode over all chips (BASELINE config 5)
+    mesh = parallel.make_mesh() if jax.device_count() > 1 else None
 
     criterions = loss_module.get_criterions(list(args.criterion_list))
     final_loss = [0.0] * len(criterions)
@@ -77,12 +82,11 @@ def main(args):
         summary_patient_loss = []
         total_loss = [0.0] * len(criterions)
         n = 0
-        for i, (images, masks) in enumerate(loader):
+        for i, images, masks, predict in batched_predictions(
+                loader, runner, params, mesh=mesh):
             name = name_list[test_ids[i]]
-            images = images.reshape((-1,) + images.shape[2:])
-            masks = masks.reshape((-1,) + masks.shape[2:]).astype(np.int32)
+            masks = masks.astype(np.int32)
 
-            predict = runner(jnp.asarray(images), params)
             predict2 = (predict >= args.threshold).astype(jnp.float32)
             losses = [float(fn(predict2, jnp.asarray(masks)))
                       for fn in criterions.values()]

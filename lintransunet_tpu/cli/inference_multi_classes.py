@@ -38,14 +38,16 @@ def get_parse():
     parser.add_argument("--kernel_size", type=int, default=3)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16")
     parser.add_argument("--num_classes", type=int, default=3)
+    parser.add_argument("--attn_layers", type=int, default=8)
     return parser.parse_args()
 
 
 def main(args):
+    import jax
     import jax.numpy as jnp
 
-    from lintransunet_tpu import engine
-    from lintransunet_tpu.cli.common import build_model
+    from lintransunet_tpu import engine, parallel
+    from lintransunet_tpu.cli.common import batched_predictions, build_model
     from lintransunet_tpu.cli.postprocess import keep_largest_connected_component
     from lintransunet_tpu.data import DataLoader, MultiClassEvaDataset
     from lintransunet_tpu.data.split import load_fold
@@ -56,6 +58,9 @@ def main(args):
     final_loss = [0.0] * len(criterions)
     name_list = sorted(os.listdir(os.path.join(args.dir_data, "image")))
     out_dict = {}
+
+    # batch-sharded multi-volume mode over all chips (BASELINE config 5)
+    mesh = parallel.make_mesh() if jax.device_count() > 1 else None
 
     model = build_model(args)
     eval_fwd = engine.make_eval_forward(model)
@@ -81,15 +86,15 @@ def main(args):
         summary_patient_loss = []
         total_loss = [0.0] * len(criterions)
         n = 0
-        for i, (images, masks) in enumerate(loader):
+        for i, images, masks, predict in batched_predictions(
+                loader, runner, params, mesh=mesh):
             name = name_list[test_ids[i]]
-            images = images.reshape((-1,) + images.shape[2:])
-            masks = masks.reshape((-1,) + masks.shape[2:]).astype(np.int32)
+            masks = masks.reshape(masks.shape).astype(np.int32)
             label = one_hot(
                 jnp.asarray(masks).reshape(masks.shape[0], -1),
                 args.num_classes).reshape(masks.shape + (args.num_classes,))
 
-            predict = np.asarray(runner(jnp.asarray(images), params))
+            predict = np.asarray(predict)
             # round -> keep largest CC over the class-1+2 union -> p0 rebuild
             hard = np.rint(predict[0]).transpose(3, 0, 1, 2)  # (C, H, W, D)
             hard = keep_largest_connected_component(

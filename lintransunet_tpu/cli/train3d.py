@@ -36,6 +36,9 @@ def get_parse():
     parser.add_argument("--kernel_size", type=int, default=3)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16")
     parser.add_argument("--image_crop", type=int, default=512)
+    parser.add_argument("--attn_layers", type=int, default=8)
+    # eval sliding-window depth (utils_3D_embed_full.py:135 hard-codes 64)
+    parser.add_argument("--eval_depth", type=int, default=64)
     return parser.parse_args()
 
 
@@ -57,7 +60,7 @@ def main(args):
     import jax
     import jax.numpy as jnp
 
-    from lintransunet_tpu import engine
+    from lintransunet_tpu import engine, parallel
     from lintransunet_tpu.cli.common import build_model, get_criterion_list, run_dirs
     from lintransunet_tpu.data import DataLoader, EvaPanCTDataset, IdPosPanCTDataset
     from lintransunet_tpu.data.split import load_fold
@@ -91,15 +94,23 @@ def main(args):
     if args.is_pretrained:
         state, resume_aux = _restore(args, fold_num, state, engine)
 
+    # SPMD data parallelism over all chips (== nn.DataParallel,
+    # train3D.py:119): batch sharded over the mesh, grads psum'd over ICI.
+    mesh = parallel.make_mesh() if num_devices > 1 else None
+    place = ((lambda a: parallel.shard_batch(mesh, a)) if mesh is not None
+             else None)
+
     criterions, eval_criterions = get_criterion_list(
         len(args.num_layers), args.criterion_list, loss_module)
-    step_fn = engine.make_train_step(model, criterions)
+    step_fn = engine.make_train_step(model, criterions, mesh=mesh)
 
     eval_fwd = engine.make_eval_forward(model)
     runner = engine.SlidingWindowRunner(
         lambda x, params: eval_fwd(params, x),
-        roi_size=(args.image_crop, args.image_crop, 64),
-        sw_batch_size=1, overlap=0.6, mode="constant", depth_bucket=32)
+        roi_size=(args.image_crop, args.image_crop,
+                  getattr(args, "eval_depth", 64)),
+        sw_batch_size=1, overlap=0.6, mode="constant",
+        depth_bucket=min(32, getattr(args, "eval_depth", 64)))
 
     scheduler = engine.ReduceLROnPlateau(
         lr=args.learning_rate, factor=args.plateau_factor,
@@ -143,7 +154,7 @@ def main(args):
             state, train_dl, step_fn, dynamic_weight,
             patient_epochs=args.num_samples, patient_batchsize=batch_size,
             writer=writer, global_step=global_step, rng=host_rng,
-            jax_rng=jax_rng)
+            jax_rng=jax_rng, place=place)
         jax_rng = jax.random.fold_in(jax_rng, epoch)
         writer.add_scalar("lr_rate", engine.get_learning_rate(state),
                           global_step)

@@ -40,6 +40,9 @@ def get_parse():
     parser.add_argument("--kernel_size", type=int, default=3)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16")
     parser.add_argument("--image_crop", type=int, default=512)
+    parser.add_argument("--attn_layers", type=int, default=8)
+    # eval sliding-window depth (utils_3D_embed_full.py:135 hard-codes 64)
+    parser.add_argument("--eval_depth", type=int, default=64)
     return parser.parse_args()
 
 
@@ -47,7 +50,7 @@ def main(args):
     import jax
     import jax.numpy as jnp
 
-    from lintransunet_tpu import engine
+    from lintransunet_tpu import engine, parallel
     from lintransunet_tpu.cli.common import build_model, get_multi_criterion_list, run_dirs
     from lintransunet_tpu.data import CachePanDataset, DataLoader, EvaPanDataset
     from lintransunet_tpu.data.split import load_fold
@@ -55,7 +58,8 @@ def main(args):
     from lintransunet_tpu.losses import multiclass as loss_module
 
     fold_num = args.fold_num
-    batch_size = args.batch_size * jax.device_count()
+    num_devices = jax.device_count()
+    batch_size = args.batch_size * num_devices
 
     train_ids, test_ids = load_fold(args.split_json, fold_num)
     train_ds = CachePanDataset(root=args.dir_data, depth_size=args.depth_size,
@@ -86,17 +90,23 @@ def main(args):
                 args.pretrained_dir, f"fold_{fold_num}", "temp_model"))
             state = state.replace(params=params)
 
+    mesh = parallel.make_mesh() if num_devices > 1 else None
+    place = ((lambda a: parallel.shard_batch(mesh, a))
+             if mesh is not None else jnp.asarray)
+
     criterions, eval_criterions = get_multi_criterion_list(
         len(args.num_layers), args.criterion_list, loss_module)
     step_fn = engine.make_train_step(
         model, criterions, criterion_weight=list(args.criterion_weight),
-        num_classes=args.num_classes)
+        num_classes=args.num_classes, mesh=mesh)
 
     eval_fwd = engine.make_eval_forward(model)
     runner = engine.SlidingWindowRunner(
         lambda x, params: eval_fwd(params, x),
-        roi_size=(args.image_crop, args.image_crop, 64),
-        sw_batch_size=1, overlap=0.6, mode="constant", depth_bucket=32)
+        roi_size=(args.image_crop, args.image_crop,
+                  getattr(args, "eval_depth", 64)),
+        sw_batch_size=1, overlap=0.6, mode="constant",
+        depth_bucket=min(32, getattr(args, "eval_depth", 64)))
 
     scheduler = engine.ReduceLROnPlateau(
         lr=args.learning_rate, factor=args.plateau_factor,
@@ -145,8 +155,8 @@ def main(args):
             masks = masks.reshape((-1,) + masks.shape[2:])
             jax_rng, sub = jax.random.split(jax_rng)
             state, loss, _ = step_fn(
-                state, jnp.asarray(images),
-                jnp.asarray(masks.astype(np.int32)), dyn_w, sub)
+                state, place(images),
+                place(masks.astype(np.int32)), dyn_w, sub)
             epoch_loss += float(loss)
             n += 1
         writer.add_scalar("train/total_loss", epoch_loss / max(n, 1),

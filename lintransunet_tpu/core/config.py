@@ -27,6 +27,8 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # packed small-C fast path levels (exact; see ops/packed_conv.py)
     packed_levels: int = 2
+    # transformer depth of every bridge (Unet_3Dblock.py n_layers=8)
+    attn_layers: int = 8
 
     def build(self, dtype=None):
         """Instantiate the flax model from the registry."""
@@ -48,7 +50,8 @@ class ModelConfig:
         if self.model_name == "MaskTransUnet":
             kwargs.update(roi_size_list=tuple(self.roi_size_list),
                           is_roi_list=tuple(self.is_roi_list),
-                          packed_levels=self.packed_levels)
+                          packed_levels=self.packed_levels,
+                          n_layers=self.attn_layers)
         return cls(**kwargs)
 
 

@@ -35,8 +35,13 @@ def train_on_epoch(
     global_step: int,
     rng: np.random.Generator,
     jax_rng: jax.Array,
+    place: Optional[Callable] = None,
 ):
-    """One epoch; returns (state, mean patient loss, new global_step)."""
+    """One epoch; returns (state, mean patient loss, new global_step).
+
+    ``place`` maps a host batch onto device(s) — ``jnp.asarray`` by default,
+    or ``parallel.shard_batch`` under a data-parallel mesh."""
+    place = place or jnp.asarray
     dyn_w = jnp.asarray(dynamic_weight, jnp.float32)
     batch_level_loss = 0.0
     n_batches = 0
@@ -54,8 +59,8 @@ def train_on_epoch(
         pending = []
         for j in range(patient_epochs):
             idx = rng.integers(0, frames, size=patient_batchsize)
-            batch_images = jnp.asarray(images[idx])
-            batch_masks = jnp.asarray(masks[idx].astype(np.int32))
+            batch_images = place(images[idx])
+            batch_masks = place(masks[idx].astype(np.int32))
             jax_rng, sub = jax.random.split(jax_rng)
             state, loss, logs = step_fn(state, batch_images, batch_masks,
                                         dyn_w, sub)

@@ -282,6 +282,98 @@ class SlidingWindowRunner:
             ))
         return self._programs[key]
 
+    def run_batch(self, volumes, *predictor_args, mesh=None):
+        """Data-parallel multi-volume sliding-window inference.
+
+        ``volumes``: list of (1, H, W, D_i, C) arrays sharing H/W/C. Each
+        volume keeps ITS OWN exact MONAI window grid — starts, weights and
+        normalisation map ride along as vmapped operands — while depths are
+        end-padded to a common bucket so ONE compiled program serves the
+        whole group. With ``mesh`` (a 1D data mesh whose size divides
+        len(volumes)) the group dim is sharded over the data axis, so each
+        chip blends its own volume (BASELINE config 5: batch-sharded
+        multi-volume inference; the reference's analogue is DataParallel
+        scattering windows, inference_embed_attn.py:89,141). Returns the
+        per-volume outputs cropped to their original depths.
+        """
+        import math as _math
+
+        b = len(volumes)
+        _, h, w, _, c = volumes[0].shape
+        roi_d = self.roi_size[2]
+        depths = [int(v.shape[3]) for v in volumes]
+        d_common = max(int(_math.ceil(max(dd, roi_d) / self.depth_bucket))
+                       * self.depth_bucket for dd in depths)
+
+        # MONAI pads sub-roi depths SYMMETRICALLY; do it here per volume so
+        # the shared end-pad to d_common below never shifts real content.
+        offsets = []
+        prepped = []
+        for v in volumes:
+            diff = max(roi_d - v.shape[3], 0)
+            half = diff // 2
+            if diff:
+                v = jnp.pad(v, ((0, 0), (0, 0), (0, 0),
+                                (half, diff - half), (0, 0)))
+            offsets.append(half)
+            prepped.append(v)
+        volumes = prepped
+
+        grids = [self._grid((1, h, w, dd, c)) for dd in depths]
+        n_chunks = max(g[0].shape[0] for g in grids)
+
+        def pad_grid(starts, weights, norm):
+            extra = n_chunks - starts.shape[0]
+            if extra:
+                starts = jnp.concatenate(
+                    [starts, jnp.zeros((extra,) + starts.shape[1:],
+                                       starts.dtype)])
+                weights = jnp.concatenate(
+                    [weights, jnp.zeros((extra,) + weights.shape[1:],
+                                        weights.dtype)])
+            pad_d = d_common - norm.shape[2]
+            if pad_d:
+                norm = jnp.pad(norm, ((0, 0), (0, 0), (0, pad_d)),
+                               constant_values=1.0)
+            return starts, weights, norm
+
+        starts_b, weights_b, norm_b = (jnp.stack(t) for t in zip(
+            *(pad_grid(*g) for g in grids)))
+        vols_b = jnp.stack([
+            jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, d_common - v.shape[3]),
+                        (0, 0))) if v.shape[3] != d_common else v
+            for v in volumes])
+
+        if self.mode == "gaussian" and self._imp is None:
+            self._imp = jax.device_put(
+                gaussian_importance(self.roi_size, self.sigma_scale))
+
+        key = ("dp", b, h, w, d_common, c, n_chunks, mesh is not None)
+        if key not in self._programs:
+            def one(vol, starts, weights, norm, args):
+                return sliding_window_inference(
+                    vol, self.roi_size, self.sw_batch_size, self.predictor,
+                    overlap=self.overlap, mode=self.mode,
+                    sigma_scale=self.sigma_scale, norm=norm,
+                    importance=self._imp, predictor_args=args,
+                    window_starts=starts, window_weights=weights)
+
+            batched = jax.vmap(one, in_axes=(0, 0, 0, 0, None))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+                repl = NamedSharding(mesh, P())
+                self._programs[key] = jax.jit(
+                    batched,
+                    in_shardings=(shard, shard, shard, shard, repl))
+            else:
+                self._programs[key] = jax.jit(batched)
+        out = self._programs[key](vols_b, starts_b, weights_b, norm_b,
+                                  predictor_args)
+        return [out[i, :, :, :, offsets[i]:offsets[i] + depths[i]]
+                for i in range(b)]
+
     def __call__(self, volume: Array, *predictor_args) -> Array:
         """predictor_args (e.g. params) are traced operands, safe to update
         between calls without recompiling or staling."""

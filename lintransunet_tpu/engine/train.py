@@ -139,11 +139,17 @@ def make_train_step(
     criterion_weight: Optional[Sequence[float]] = None,
     num_classes: Optional[int] = None,
     donate: bool = True,
+    mesh=None,
 ):
     """Build the jitted train step.
 
     step(state, images, labels, dynamic_weight, rng) -> (state, loss, logs).
     images: (N, H, W, D, C); labels: (N, H, W, D) int; dynamic_weight: (L,).
+
+    With ``mesh`` (a 1D data mesh) the step is jitted SPMD: the batch args
+    are sharded over the data axis, params/opt state replicated, and XLA
+    inserts the gradient psum over ICI — the TPU-native equivalent of the
+    reference's ``nn.DataParallel`` wrap (train3D.py:119).
     """
 
     def loss_fn(params, images, labels, dynamic_weight, rng):
@@ -160,7 +166,13 @@ def make_train_step(
         state = state.apply_gradients(grads=grads)
         return state, loss, logs
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    donate_argnums = (0,) if donate else ()
+    if mesh is not None:
+        from lintransunet_tpu import parallel
+
+        return parallel.data_parallel_jit(step, mesh, batch_argnums=(1, 2),
+                                          donate_argnums=donate_argnums)
+    return jax.jit(step, donate_argnums=donate_argnums)
 
 
 def make_eval_forward(model) -> Callable:

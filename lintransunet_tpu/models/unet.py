@@ -235,7 +235,8 @@ class ROIDecoder(nn.Module):
                 dtype=self.dtype,
                 name=f"block_list_{i - 1}")(x, bridged, train=train)
 
-        if self.packed_levels > 0:
+        if min(self.packed_levels, n_levels - 2) > 0:
+            # only when level 0 actually ran packed (x is still packed here)
             x = pk.PackedConv(self.dim_output * self.emb_window ** 2,
                               layers[0], mode="s1",
                               kernel_size=self.kernel_size, dtype=self.dtype,

@@ -43,15 +43,15 @@ def _train_args(ws, tmp):
         log_dir=os.path.join(tmp, "runs"), model_dir=os.path.join(tmp, "out"),
         criterion_list=("CrossEntroLoss", "DiceClassLoss"),
         criterion_weight=(1.0, 1.0),
-        weight_list=(0.1, 0.1, 1.0), final_weight=(2.0, 1.0, 1.0),
-        initial_weight=(0.1, 0.3, 1.0), fold_num=0, split_json=ws["split"],
+        weight_list=(0.1, 1.0), final_weight=(2.0, 1.0),
+        initial_weight=(0.1, 1.0), fold_num=0, split_json=ws["split"],
         learning_rate=1e-3, plateau_factor=0.8, plateau_patience=5,
         plateau_threshold=1e-2, plateau_cooldown=1, min_lr=1e-7,
         warmup_step=1, weight_T=12.0, num_classes=2, seed=0,
-        model_name="MaskTransUnet", num_layers=(8, 16, 32),
-        roi_size_list=(8, 6, 4), is_roi_list=(False, True, True),
+        model_name="MaskTransUnet", num_layers=(8, 32),
+        roi_size_list=(8, 4), is_roi_list=(False, True),
         dim_input=1, dim_output=2, kernel_size=3, compute_dtype="float32",
-        image_crop=32,
+        image_crop=16, attn_layers=1, eval_depth=8,
     )
 
 
@@ -88,21 +88,22 @@ def test_train_and_inference_cli(workspace, tmp_path):
         infer_args = types.SimpleNamespace(
             dir_data=workspace["data"],
             pretrained_dir=os.path.join(out_root, run_dirs[0]),
-            batch_size=1, depth_size=8, roi_size=32, sw_batch_size=1,
+            batch_size=1, depth_size=8, roi_size=16, sw_batch_size=1,
             overlap=0.6, threshold=0.5,
             criterion_list=("DiceClassLoss", "Recall", "Precision",
                             "LocalizationLoss"),
             is_save=True, saved_folder=str(tmp_path / "pred"),
             fold_nums=1, split_json=workspace["split"],
-            model_name="MaskTransUnet", num_layers=(8, 16, 32),
-            roi_size_list=(8, 6, 4), is_roi_list=(False, True, True),
-            dim_input=1, dim_output=2, kernel_size=3, compute_dtype="float32")
+            model_name="MaskTransUnet", num_layers=(8, 32),
+            roi_size_list=(8, 4), is_roi_list=(False, True),
+            dim_input=1, dim_output=2, kernel_size=3, compute_dtype="float32",
+            attn_layers=1)
         inference_embed_attn.main(infer_args)
         assert os.path.isfile("summary_4_fold.json")
         preds = os.listdir(str(tmp_path / "pred"))
         assert preds
         vol = np.load(os.path.join(str(tmp_path / "pred"), preds[0]))
-        assert vol.shape == (8, 32, 32)  # (D, H, W) export layout
+        assert vol.shape == (8, 32, 32)  # (D, H, W) full-volume export
         assert set(np.unique(vol)) <= {0.0, 1.0}
     finally:
         os.chdir(cwd)
@@ -161,16 +162,16 @@ def test_multiclass_train_and_inference_cli(workspace, tmp_path):
         infer_args = types.SimpleNamespace(
             dir_data=data,
             pretrained_dir=os.path.join(out_root, run_dirs[0]),
-            batch_size=1, depth_size=8, roi_size=32, sw_batch_size=1,
+            batch_size=1, depth_size=8, roi_size=16, sw_batch_size=1,
             overlap=0.6, threshold=0.5,
             criterion_list=("DiceClassLoss0", "DiceClassLoss",
                             "DiceClassLoss2", "Recall2", "Precision2"),
             is_save=True, saved_folder=str(tmp_path / "pred_mc"),
             fold_nums=1, split_json=workspace["split"],
-            model_name="MaskTransUnet", num_layers=(8, 16, 32),
-            roi_size_list=(8, 6, 4), is_roi_list=(False, True, True),
+            model_name="MaskTransUnet", num_layers=(8, 32),
+            roi_size_list=(8, 4), is_roi_list=(False, True),
             dim_input=1, dim_output=3, kernel_size=3,
-            compute_dtype="float32", num_classes=3)
+            compute_dtype="float32", num_classes=3, attn_layers=1)
         inference_multi_classes.main(infer_args)
         preds = os.listdir(str(tmp_path / "pred_mc"))
         assert preds

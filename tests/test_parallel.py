@@ -14,6 +14,7 @@ TINY = dict(
     is_roi_list=(False, True, True),
     dim_input=1,
     dim_output=2,
+    n_layers=1,  # single-layer bridges: CPU-mesh compile time, same SPMD shape
 )
 
 
@@ -81,3 +82,67 @@ def test_dp_sliding_window_batch(rng):
     out = run_dp(parallel.shard_batch(mesh, jnp.asarray(vol)))
     assert out.shape == (8, 8, 8, 10, 2)
     np.testing.assert_allclose(np.asarray(out)[..., 0], vol[..., 0], atol=1e-5)
+
+
+def test_train_cli_runs_data_parallel(tmp_path):
+    """cli/train3d.main must execute its SPMD path on the 8-device mesh
+    (batch sharded over the data axis) — the CLI equivalent of the
+    reference's nn.DataParallel wrap (train3D.py:119)."""
+    import os
+    import types
+
+    from lintransunet_tpu.cli import train3d
+    from lintransunet_tpu.data.split import write_split_json
+
+    data = tmp_path / "data"
+    os.makedirs(data / "image")
+    os.makedirs(data / "label")
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        img = rng.normal(40.0, 60.0, (8, 16, 16)).astype(np.float32)
+        lbl = np.zeros((8, 16, 16), np.uint8)
+        lbl[2:5, 4:10, 5:11] = 1
+        np.save(data / "image" / f"{i:04d}.npy", img)
+        np.save(data / "label" / f"{i:04d}.npy", lbl)
+    split = str(tmp_path / "split.json")
+    write_split_json(4, split, n_splits=2, seed=0)
+
+    args = types.SimpleNamespace(
+        dir_data=str(data), is_transform=False, split_ratio=0.9,
+        is_pretrained=False, pretrained_dir="", batch_size=1, depth_size=8,
+        num_samples=2, device="cpu", epochs=1, eval_epoch=5,
+        log_dir=str(tmp_path / "runs"), model_dir=str(tmp_path / "out"),
+        criterion_list=("CrossEntroLoss", "DiceClassLoss"),
+        criterion_weight=(1.0, 1.0),
+        weight_list=(0.1, 0.1, 1.0), final_weight=(2.0, 1.0, 1.0),
+        initial_weight=(0.1, 0.3, 1.0), fold_num=0, split_json=split,
+        learning_rate=1e-3, plateau_factor=0.8, plateau_patience=5,
+        plateau_threshold=1e-2, plateau_cooldown=1, min_lr=1e-7,
+        warmup_step=1, weight_T=12.0, num_classes=2, seed=0,
+        model_name="MaskTransUnet", num_layers=(8, 16, 32),
+        roi_size_list=(8, 6, 4), is_roi_list=(False, True, True),
+        dim_input=1, dim_output=2, kernel_size=3, compute_dtype="float32",
+        image_crop=16, attn_layers=1,
+    )
+    assert jax.device_count() == 8  # batch_size becomes 8, sharded 1/chip
+    train3d.main(args)
+    out_root = str(tmp_path / "out")
+    run = os.listdir(out_root)[0]
+    assert os.path.isdir(os.path.join(out_root, run, "fold_0", "train_state"))
+
+
+def test_runner_batch_sharded_matches_single(rng):
+    """run_batch over the mesh == per-volume runner outputs (config 5)."""
+    mesh = parallel.make_mesh()
+
+    def predictor(x):
+        return jnp.concatenate([x * 2.0, -x], axis=-1)
+
+    runner = engine.SlidingWindowRunner(predictor, (8, 8, 4), 2,
+                                        overlap=0.6, depth_bucket=4)
+    vols = [jnp.asarray(rng.standard_normal((1, 8, 8, 3 + i, 1))
+                        .astype(np.float32)) for i in range(8)]
+    sharded = runner.run_batch(vols, mesh=mesh)
+    for v, o in zip(vols, sharded):
+        ref = runner(v)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=1e-5)
