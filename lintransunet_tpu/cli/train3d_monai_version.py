@@ -153,6 +153,13 @@ def main(args):
         for images, masks in train_dl:
             images = images.reshape((-1,) + images.shape[2:])
             masks = masks.reshape((-1,) + masks.shape[2:])
+            if mesh is not None and images.shape[0] % num_devices:
+                # SPMD needs batch % devices == 0; pad ragged tail batches
+                # by wrap-around repeats (torch DistributedSampler style)
+                target = (-images.shape[0]) % num_devices + images.shape[0]
+                idx = np.arange(target) % images.shape[0]
+                images = np.take(images, idx, axis=0)
+                masks = np.take(masks, idx, axis=0)
             jax_rng, sub = jax.random.split(jax_rng)
             state, loss, _ = step_fn(
                 state, place(images),

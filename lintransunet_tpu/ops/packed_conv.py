@@ -64,6 +64,63 @@ def pack_kernel_stride2_jnp(kernel: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def pack_kernel_stride1_sheared_jnp(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, kd, C, O) -> SHEARED packed kernel (2, 2, kd, 4C, 4O).
+
+    The dense packed 3x3 kernel (pack_kernel_stride1) is only 25% dense, so
+    the packed conv burns 4x the original FLOPs multiplying zeros. Shearing
+    exploits that output sub-position alpha=1 at block m-1 reads EXACTLY the
+    same two-block window {m-1, m} as alpha=0 at block m (per axis): one
+    2x2-block-tap conv computes alpha/beta=0 outputs at their own block and
+    alpha/beta=1 outputs shifted one block down/right, and cheap offset
+    slices realign (packed_conv3d_stride1_sheared). 9 of 16 slots per
+    output are live -> 16/9 of the ORIGINAL FLOPs, 2.25x fewer than dense.
+
+    Entry rule: input fine row = 2*(m-1+bi)+a, output fine row = 2m-2+alpha
+    => tap dh = 2*bi + a - 2 + alpha, valid iff dh in [-1, 1] (same for w).
+    """
+    kh, kw, kd, c, o = kernel.shape
+    out = jnp.zeros((2, 2, kd, 4 * c, 4 * o), kernel.dtype)
+    ci_base = jnp.arange(c) * 4
+    co_base = jnp.arange(o) * 4
+    for bi in (0, 1):
+        for bj in (0, 1):
+            for a in (0, 1):
+                for b in (0, 1):
+                    for alpha in (0, 1):
+                        for beta in (0, 1):
+                            dh = 2 * bi + a - 2 + alpha
+                            dw = 2 * bj + b - 2 + beta
+                            if -1 <= dh <= 1 and -1 <= dw <= 1:
+                                ci = ci_base + a * 2 + b
+                                co = co_base + alpha * 2 + beta
+                                out = out.at[bi, bj, :,
+                                             ci[:, None], co[None, :]].set(
+                                    kernel[dh + 1, dw + 1].transpose(1, 2, 0))
+    return out
+
+
+def packed_conv3d_stride1_sheared(x_packed: jnp.ndarray, sheared_kernel,
+                                  bias=None, kd_pad: int = 1) -> jnp.ndarray:
+    """Sheared-packed equivalent of conv3d(stride=1, padding=1).
+
+    Pads one block on every H/W side, runs the 2x2-block-tap conv (output
+    one block larger per axis), then realigns: output sub-position group
+    (alpha, beta) is the (H2, W2) slice starting at (alpha, beta). The
+    realign is one slice+stack pass — negligible next to the 2.25x conv
+    FLOP cut. Bit-identical function to packed_conv3d_stride1.
+    """
+    y = jnp.pad(x_packed, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    y = conv3d(y, sheared_kernel, bias=bias, stride=1,
+               padding=(0, 0, kd_pad))
+    n, hp, wp, d, c4 = y.shape
+    h2, w2 = hp - 1, wp - 1
+    parts = [y[:, alpha:alpha + h2, beta:beta + w2, :, alpha * 2 + beta::4]
+             for alpha in (0, 1) for beta in (0, 1)]
+    out = jnp.stack(parts, axis=-1)  # (N, H2, W2, D, O, 4)
+    return out.reshape(n, h2, w2, d, c4)
+
+
 def pack_kernel_1x1_jnp(kernel: jnp.ndarray) -> jnp.ndarray:
     """(1, 1, 1, C, O) -> (1, 1, 1, 4C, 4O) block-diagonal over sub-positions."""
     _, _, _, c, o = kernel.shape

@@ -203,3 +203,42 @@ def test_full_state_resume(workspace, tmp_path):
     args2.is_pretrained = True
     args2.pretrained_dir = run_dir
     train3d.main(args2)
+
+
+def test_monai_train_cli(workspace, tmp_path):
+    """train3d_monai_version end-to-end: CachePanDataset (one optimiser step
+    per dict batch, no accumulation) -> checkpoint artifacts."""
+    from lintransunet_tpu.cli import train3d_monai_version
+
+    data = os.path.join(workspace["root"], "data_monai")
+    os.makedirs(os.path.join(data, "image"), exist_ok=True)
+    os.makedirs(os.path.join(data, "label"), exist_ok=True)
+    rng = np.random.default_rng(7)
+    for i in range(4):
+        img = rng.normal(40.0, 60.0, (8, 32, 32)).astype(np.float32)
+        lbl = np.zeros((8, 32, 32), np.uint8)
+        lbl[2:5, 8:20, 10:22] = 1
+        lbl[3:5, 12:16, 12:16] = 2
+        np.save(os.path.join(data, "image", f"{i:04d}.npy"), img)
+        np.save(os.path.join(data, "label", f"{i:04d}.npy"), lbl)
+
+    args = _train_args(workspace, str(tmp_path))
+    args.dir_data = data
+    args.dim_output = 3
+    args.num_classes = 3
+    args.criterion_list = ("CrossEntroLoss", "DiceClassLoss", "DiceClassLoss2")
+    args.criterion_weight = (10.0, 1.0, 2.0)
+    train3d_monai_version.main(args)
+
+    out_root = os.path.join(str(tmp_path), "out")
+    run = os.listdir(out_root)[0]
+    model_dir = os.path.join(out_root, run, "fold_0")
+    assert os.path.isdir(os.path.join(model_dir, "temp_model"))
+    assert os.path.isdir(os.path.join(model_dir, "train_state"))
+
+    logs = []
+    for dp, dn, fn in os.walk(os.path.join(str(tmp_path), "runs")):
+        logs += [os.path.join(dp, f) for f in fn if f == "metrics.jsonl"]
+    records = [json.loads(line) for line in open(logs[0])]
+    tags = {r["tag"] for r in records}
+    assert "train/total_loss" in tags and "eval/DiceClassLoss2" in tags

@@ -167,3 +167,33 @@ def test_rand_rotate_fires_at_monai_default_rate(data_root):
     src = inspect.getsource(D)
     assert "rand_rotate" in src
     assert "prob=1.0" not in src.split("rand_rotate(")[1][:120]
+
+
+def test_cache_pan_dataset_caches_and_randomises(data_root):
+    from lintransunet_tpu.data import CachePanDataset, EvaPanDataset
+
+    ds = CachePanDataset(root=data_root, depth_size=4, num_samples=2,
+                         ids=[0, 1], image_crop=16, num_workers=2, seed=0)
+    assert len(ds) == 2
+    # deterministic preprocessing is cached once (same object on re-access)
+    img_a, lbl_a = ds._cache[0]
+    img_b, lbl_b = ds._cache[0]
+    assert img_a is img_b and lbl_a is lbl_b
+    # intensity scaling applied: values within the clipped normalised range
+    lo = (ds.low_clip - ds.mean) / ds.std
+    hi = (ds.high_clip - ds.mean) / ds.std
+    assert img_a.min() >= lo - 1e-5 and img_a.max() <= hi + 1e-5
+
+    imgs, lbls = ds[0]
+    assert imgs.shape == (2, 16, 16, 4, 1)
+    assert lbls.shape == (2, 16, 16, 4)
+    assert lbls.dtype == np.uint8
+    # random transforms re-draw per access (crops differ with high prob)
+    imgs2, _ = ds[0]
+    assert not np.array_equal(imgs, imgs2)
+
+    eva = EvaPanDataset(root=data_root, depth_size=4, ids=[2],
+                        num_workers=1)
+    img, lbl = eva[0]
+    assert img.shape[0] == 1 and img.shape[-1] == 1
+    assert lbl.shape == img.shape[:-1]
