@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--volume_depth", type=int, default=144)
     parser.add_argument("--runs", type=int, default=3)
     parser.add_argument("--sw_batch", type=int, default=1)
+    parser.add_argument("--chunk_bucket", type=int, default=1,
+                        help="chunk-count bucket for the runner's jit cache; "
+                             "1 = no pad forwards (best for a single-shape "
+                             "benchmark volume)")
     args = parser.parse_args()
 
     import jax
@@ -61,18 +65,21 @@ def main():
     forward = make_eval_forward(model)
     runner = SlidingWindowRunner(
         lambda x, p: forward(p, x), roi, args.sw_batch, overlap=0.6,
-        mode="constant", depth_bucket=roi[2])
+        mode="constant", depth_bucket=roi[2],
+        chunk_bucket=args.chunk_bucket)
 
     volume = jnp.asarray(
         rng.standard_normal(vol_shape).astype(np.float32)).astype(jnp.bfloat16)
 
-    # Window count for the throughput denominator (after depth bucketing).
-    from lintransunet_tpu.engine.sliding_window import dense_window_starts
+    # Window count for the throughput denominator: the EXACT MONAI grid of
+    # the real extent — what the runner actually computes (depth bucketing
+    # only pads the program shape; pad windows carry weight 0 and the real
+    # grid never reads them).
+    from lintransunet_tpu.engine.sliding_window import (
+        dense_window_starts, padded_spatial_shape)
 
-    d = vol_shape[3]
-    pad_d = (-d) % roi[2]
-    padded_spatial = (vol_shape[1], vol_shape[2], d + pad_d)
-    n_windows = dense_window_starts(padded_spatial, roi, 0.6).shape[0]
+    real_spatial = padded_spatial_shape(vol_shape[1:4], roi)
+    n_windows = dense_window_starts(real_spatial, roi, 0.6).shape[0]
     voxels = n_windows * roi[0] * roi[1] * roi[2] * vol_shape[0]
     patch_equiv = voxels / 96 ** 3
 
