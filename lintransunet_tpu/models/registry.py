@@ -25,6 +25,32 @@ def one_hot_argmax(out: Array) -> Array:
     return jax.nn.one_hot(idx, out.shape[-1], dtype=out.dtype)
 
 
+def packed_one_hot_argmax2(xp: Array, unpack_times: int = 2) -> Array:
+    """One-hot channel argmax for dim_output=2 computed on a channel-major
+    2x2-packed tensor, then unembedded ``unpack_times`` times.
+
+    Channel-major packing (packed ch = c*4 + sub-position) keeps the class
+    in the MAJOR lane bits at every nesting level, so with 2 classes the
+    upper half of the lanes is always class 1. The compare therefore runs on
+    two contiguous lane slices of the packed tensor instead of a
+    full-resolution (…, 2) argmax that pays a huge lane-padding tax.
+    Equivalent to one_hot_argmax on the fully unembedded logits, including
+    argmax's first-max tie rule (ties -> class 0).
+
+    The ROIDecoder's packed eval output is DOUBLY packed — the compute
+    packing on top of the model's own window embedding — hence the default
+    unpack_times=2.
+    """
+    from lintransunet_tpu import ops
+
+    c = xp.shape[-1]
+    fg = xp[..., c // 2:] > xp[..., :c // 2]  # class 1 strictly greater
+    oh = jnp.concatenate([jnp.logical_not(fg), fg], axis=-1).astype(xp.dtype)
+    for _ in range(unpack_times):
+        oh = ops.windows_unembedding(oh, 2)
+    return oh
+
+
 class TraditionUnet(nn.Module):
     """Plain 3D UNet (trans_3DUnet.py:7-35)."""
 
@@ -159,6 +185,9 @@ class MaskTransUnet(nn.Module):
         so the train branch can be evaluated deterministically."""
         if return_aux is None:
             return_aux = train
+        n_levels = len(self.num_layers)
+        packed_eval = (not return_aux and self.dim_output == 2
+                       and min(self.packed_levels, n_levels - 2) > 0)
         bottle, skips = Encoder(self.num_layers, self.dim_input,
                                 self.kernel_size, self.dropout,
                                 packed_levels=self.packed_levels,
@@ -174,10 +203,13 @@ class MaskTransUnet(nn.Module):
             # eval branch one-hots the argmax, which softmax cannot change —
             # skip the full-resolution f32 softmax there
             apply_softmax=return_aux,
+            return_packed_logits=packed_eval,
             dtype=self.dtype,
             name="decode")(bottle, skips, train=train)
         if return_aux:
             return out, mask_list
+        if packed_eval:
+            return packed_one_hot_argmax2(out)
         return one_hot_argmax(out)
 
 

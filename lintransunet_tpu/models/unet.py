@@ -163,6 +163,7 @@ class ROIDecoder(nn.Module):
     emb_window: int = 2
     packed_levels: int = 0
     apply_softmax: bool = True
+    return_packed_logits: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -241,6 +242,11 @@ class ROIDecoder(nn.Module):
                               layers[0], mode="s1",
                               kernel_size=self.kernel_size, dtype=self.dtype,
                               name="final_block")(x)
+            if self.return_packed_logits and not self.apply_softmax:
+                # eval fast path: the caller computes the one-hot argmax in
+                # the packed layout (models.registry.packed_one_hot_argmax2)
+                # — a full-res (…, 2) argmax pays a ~15x lane-padding tax.
+                return x, mask_list
             x = pk.unpack(x)
         else:
             x = _conv(self.dim_output * self.emb_window ** 2,

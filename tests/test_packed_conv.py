@@ -100,3 +100,40 @@ def test_packed_top_roi_level(rng):
     got_out, _ = fast.apply(variables, x, train=False, return_aux=True)
     np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_packed_one_hot_argmax2_op(rng):
+    """packed epilogue == one_hot_argmax(unembed(xp)) incl. the tie rule."""
+    from lintransunet_tpu.models.registry import (
+        one_hot_argmax, packed_one_hot_argmax2)
+
+    xp = rng.standard_normal((2, 8, 8, 4, 32)).astype(np.float32)
+    xp[0, 0, 0, 0, :] = 1.0  # exact tie -> class 0 (argmax first-max rule)
+    xp = jnp.asarray(xp)
+    ref = one_hot_argmax(ops.windows_unembedding(
+        ops.windows_unembedding(xp, 2), 2))
+    got = packed_one_hot_argmax2(xp)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_packed_eval_branch_matches_unpacked(rng):
+    """The packed eval branch (packed one-hot argmax epilogue) must equal
+    the argmax of the packed model's own probabilities. (Direct comparison
+    against the UNPACKED model is only rtol-1e-4 equal in logits, so
+    near-tie voxels may legitimately flip across the two compute paths —
+    softmax is order-preserving, so in-model probabilities give an exact
+    argmax oracle for the same compute path.)"""
+    import jax
+
+    from lintransunet_tpu.models import MaskTransUnet
+    from lintransunet_tpu.models.registry import one_hot_argmax
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(8, 6, 4),
+              is_roi_list=(False, True, True), dim_input=1, dim_output=2)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 4, 1)).astype(np.float32))
+    fast = MaskTransUnet(**kw, packed_levels=2)
+    variables = fast.init(jax.random.PRNGKey(0), x, train=False)
+    probs, _ = fast.apply(variables, x, train=False, return_aux=True)
+    got = fast.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(one_hot_argmax(probs)))
