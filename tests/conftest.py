@@ -18,6 +18,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeated suite runs (CI, local loops) skip
+# recompiling the big 5-level model graphs, which dominate wall-clock on the
+# CPU runner. Cold runs are unaffected; warm runs drop by minutes.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/lintransunet_jax_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

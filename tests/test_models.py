@@ -1,12 +1,19 @@
 """Model-layer tests: shapes, registry, and golden parity vs the reference.
 
-The parity test imports the reference PyTorch model (torch-only modules, no
-MONAI needed), copies its randomly-initialised weights into our flax tree via
-compat.torch_import, and asserts the eval-mode forward matches to float32
+The parity tests import the reference PyTorch model (torch-only modules, no
+MONAI needed), copy its randomly-initialised weights into our flax tree via
+compat.torch_import, and assert the eval-mode forward matches to float32
 tolerance — BASELINE.md's config-1 requirement.
+
+Wall-clock note: the 5-level model is expensive to build op-by-op on the CPU
+test runner, so everything derived from it (torch reference outputs, our
+eval/train forwards) is computed ONCE in the module-scoped ``small_setup``
+fixture and shared by every test below; the variant smoke tests run 3-level
+configs on tiny inputs.
 """
 
 import sys
+from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
@@ -24,12 +31,7 @@ SMALL = dict(
     dim_output=2,
 )
 
-
-def _init_and_run(model, x, train=False):
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    out = model.apply(variables, x, train=train,
-                      rngs={"dropout": jax.random.PRNGKey(1)} if train else None)
-    return variables, out
+TINY3 = dict(num_layers=(8, 16, 32), dim_input=1, dim_output=2)
 
 
 def test_registry_names():
@@ -38,45 +40,6 @@ def test_registry_names():
         "MaskSkipTransUnet", "MaskTransUnet",
     }
     assert get_model_dict("MaskTransUnet") is MaskTransUnet
-
-
-def test_mask_trans_unet_shapes(rng):
-    x = jnp.asarray(rng.standard_normal((1, 64, 64, 8, 1)).astype(np.float32))
-    model = MaskTransUnet(**SMALL)
-    variables, out = _init_and_run(model, x, train=False)
-    assert out.shape == (1, 64, 64, 8, 2)
-    # eval branch is one-hot
-    s = np.asarray(out).sum(-1)
-    np.testing.assert_allclose(s, 1.0, atol=1e-6)
-    assert set(np.unique(np.asarray(out))) <= {0.0, 1.0}
-
-    out_t, mask_list = model.apply(
-        variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
-    assert out_t.shape == (1, 64, 64, 8, 2)
-    assert len(mask_list) == 4
-    # coarse -> fine pyramid resolutions with alternating depth halving
-    assert [m.shape[1:4] for m in mask_list] == [
-        (4, 4, 4), (8, 8, 4), (16, 16, 8), (32, 32, 8)]
-    assert all(m.shape[-1] == 2 for m in mask_list)
-
-
-@pytest.mark.parametrize("name", ["TraditionUnet", "BottleTransUnet", "SkipTransUnet"])
-def test_plain_variants_run(rng, name):
-    x = jnp.asarray(rng.standard_normal((1, 64, 64, 8, 1)).astype(np.float32))
-    cls = get_model_dict(name)
-    model = cls(num_layers=(8, 16, 32, 32, 64), dim_input=1, dim_output=2)
-    _, out = _init_and_run(model, x)
-    assert out.shape == (1, 64, 64, 8, 2)
-    np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, atol=1e-5)
-
-
-def test_mask_skip_variant_runs(rng):
-    x = jnp.asarray(rng.standard_normal((1, 64, 64, 8, 1)).astype(np.float32))
-    cls = get_model_dict("MaskSkipTransUnet")
-    model = cls(num_layers=(32, 32, 64, 64, 128), dim_input=1, dim_output=2)
-    _, (out, mask_list) = _init_and_run(model, x)
-    assert out.shape == (1, 64, 64, 8, 2)
-    assert len(mask_list) == 4
 
 
 @pytest.fixture(scope="module")
@@ -92,9 +55,16 @@ def reference_modules():
     return TorchMaskTransUnet
 
 
-def test_golden_parity_mask_trans_unet(reference_modules, rng):
-    """Eval-mode forward parity with the reference on one small patch."""
+@pytest.fixture(scope="module")
+def small_setup(reference_modules):
+    """Torch reference + converted params + both forwards, computed once."""
     import torch
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from loss.criterions import DiceClassLoss as TorchDice
+    finally:
+        sys.path.pop(0)
 
     TorchMaskTransUnet = reference_modules
     torch.manual_seed(0)
@@ -105,88 +75,15 @@ def test_golden_parity_mask_trans_unet(reference_modules, rng):
         dim_input=1, dim_output=2, kernel_size=3)
     tm.eval()
 
-    x_ncdhw = rng.standard_normal((2, 1, 64, 64, 8)).astype(np.float32)
-    with torch.no_grad():
-        ref = tm(torch.from_numpy(x_ncdhw)).numpy()
-
-    model = MaskTransUnet(**SMALL)
-    x = jnp.asarray(from_ncdhw(x_ncdhw))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
-    params = convert_state_dict(state, variables["params"])
-    out = model.apply({"params": params}, x, train=False)
-    got = to_ncdhw(out)
-
-    # Eval output is a one-hot argmax; on a random-weight model a tiny
-    # fraction of voxels can sit exactly at the decision boundary, so
-    # compare both the hard output and the agreement rate.
-    agreement = (got == ref).mean()
-    assert agreement > 0.999, f"one-hot agreement {agreement}"
-
-
-def test_golden_parity_train_probabilities(reference_modules, rng):
-    """Train-branch (softmax probability) parity + deep-supervision masks."""
-    import torch
-
-    TorchMaskTransUnet = reference_modules
-    torch.manual_seed(1)
-    tm = TorchMaskTransUnet(
-        num_layers=list(SMALL["num_layers"]),
-        roi_size_list=list(SMALL["roi_size_list"]),
-        is_roi_list=list(SMALL["is_roi_list"]),
-        dim_input=1, dim_output=2, kernel_size=3)
-    tm.eval()  # disables dropout; .training=False but we call decode directly
-    tm.train(False)
-
-    x_ncdhw = rng.standard_normal((1, 1, 64, 64, 8)).astype(np.float32)
-    with torch.no_grad():
-        bottle, skips = tm.encode(torch.from_numpy(x_ncdhw))
-        ref_out, ref_masks = tm.decode(bottle, skips)
-    ref_out = ref_out.numpy()
-
-    model = MaskTransUnet(**SMALL)
-    x = jnp.asarray(from_ncdhw(x_ncdhw))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
-    params = convert_state_dict(state, variables["params"])
-    out, masks = model.apply({"params": params}, x, train=False, return_aux=True)
-
-    np.testing.assert_allclose(to_ncdhw(out), ref_out, rtol=1e-3, atol=2e-4)
-    assert len(masks) == len(ref_masks)
-    for got_m, ref_m in zip(masks, ref_masks):
-        np.testing.assert_allclose(
-            to_ncdhw(got_m), ref_m.numpy(), rtol=1e-3, atol=2e-4)
-
-
-def test_baseline_config1_forward_plus_dice_parity(reference_modules, rng):
-    """BASELINE.json config 1: MaskTransUnet forward + Dice loss on one patch
-    must match the reference numerically (forward through converted weights,
-    DiceClassLoss on both sides)."""
-    import torch
-
-    sys.path.insert(0, "/root/reference")
-    try:
-        from loss.criterions import DiceClassLoss as TorchDice
-    finally:
-        sys.path.pop(0)
-
-    from lintransunet_tpu.losses.binary import DiceClassLoss
-
-    TorchMaskTransUnet = reference_modules
-    torch.manual_seed(2)
-    tm = TorchMaskTransUnet(
-        num_layers=list(SMALL["num_layers"]),
-        roi_size_list=list(SMALL["roi_size_list"]),
-        is_roi_list=list(SMALL["is_roi_list"]),
-        dim_input=1, dim_output=2, kernel_size=3)
-    tm.eval()
-
+    rng = np.random.default_rng(42)
     x_ncdhw = rng.standard_normal((1, 1, 64, 64, 8)).astype(np.float32)
     label = (rng.random((1, 1, 64, 64, 8)) > 0.8).astype(np.int64)
     with torch.no_grad():
+        ref_eval = tm(torch.from_numpy(x_ncdhw)).numpy()
         bottle, skips = tm.encode(torch.from_numpy(x_ncdhw))
-        ref_prob, _ = tm.decode(bottle, skips)
-        ref_dice = float(TorchDice()(ref_prob, torch.from_numpy(label)))
+        ref_prob_t, ref_masks = tm.decode(bottle, skips)
+        ref_dice = float(TorchDice()(ref_prob_t, torch.from_numpy(label)))
+    ref_prob = ref_prob_t.numpy()
 
     model = MaskTransUnet(**SMALL)
     x = jnp.asarray(from_ncdhw(x_ncdhw))
@@ -194,7 +91,82 @@ def test_baseline_config1_forward_plus_dice_parity(reference_modules, rng):
     params = convert_state_dict(
         {k: v.detach().numpy() for k, v in tm.state_dict().items()},
         variables["params"])
-    out, _ = model.apply({"params": params}, x, train=False, return_aux=True)
-    got_dice = float(DiceClassLoss()(out, jnp.asarray(label[:, 0])))
+    got_eval = model.apply({"params": params}, x, train=False)
+    got_prob, got_masks = model.apply({"params": params}, x, train=False,
+                                      return_aux=True)
+    return SimpleNamespace(
+        model=model, params=params, x=x, label=label,
+        ref_eval=ref_eval, ref_prob=ref_prob, ref_masks=ref_masks,
+        ref_dice=ref_dice, got_eval=got_eval, got_prob=got_prob,
+        got_masks=got_masks)
 
-    assert got_dice == pytest.approx(ref_dice, rel=1e-4, abs=1e-5)
+
+def test_mask_trans_unet_shapes(small_setup, rng):
+    out = small_setup.got_eval
+    assert out.shape == (1, 64, 64, 8, 2)
+    # eval branch is one-hot
+    s = np.asarray(out).sum(-1)
+    np.testing.assert_allclose(s, 1.0, atol=1e-6)
+    assert set(np.unique(np.asarray(out))) <= {0.0, 1.0}
+
+    out_t, mask_list = small_setup.model.apply(
+        {"params": small_setup.params}, small_setup.x, train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    assert out_t.shape == (1, 64, 64, 8, 2)
+    assert len(mask_list) == 4
+    # coarse -> fine pyramid resolutions with alternating depth halving
+    assert [m.shape[1:4] for m in mask_list] == [
+        (4, 4, 4), (8, 8, 4), (16, 16, 8), (32, 32, 8)]
+    assert all(m.shape[-1] == 2 for m in mask_list)
+
+
+@pytest.mark.parametrize("name", ["TraditionUnet", "BottleTransUnet", "SkipTransUnet"])
+def test_plain_variants_run(rng, name):
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 4, 1)).astype(np.float32))
+    cls = get_model_dict(name)
+    model = cls(**TINY3)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 32, 32, 4, 2)
+    np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, atol=1e-5)
+
+
+def test_mask_skip_variant_runs(rng):
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 4, 1)).astype(np.float32))
+    cls = get_model_dict("MaskSkipTransUnet")
+    model = cls(**TINY3)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, mask_list = model.apply(variables, x, train=False)
+    assert out.shape == (1, 32, 32, 4, 2)
+    assert len(mask_list) == 2
+
+
+def test_golden_parity_mask_trans_unet(small_setup):
+    """Eval-mode forward parity with the reference on one small patch."""
+    got = to_ncdhw(small_setup.got_eval)
+    # Eval output is a one-hot argmax; on a random-weight model a tiny
+    # fraction of voxels can sit exactly at the decision boundary, so
+    # compare the agreement rate rather than exact equality.
+    agreement = (got == small_setup.ref_eval).mean()
+    assert agreement > 0.999, f"one-hot agreement {agreement}"
+
+
+def test_golden_parity_train_probabilities(small_setup):
+    """Train-branch (softmax probability) parity + deep-supervision masks."""
+    np.testing.assert_allclose(to_ncdhw(small_setup.got_prob),
+                               small_setup.ref_prob, rtol=1e-3, atol=2e-4)
+    assert len(small_setup.got_masks) == len(small_setup.ref_masks)
+    for got_m, ref_m in zip(small_setup.got_masks, small_setup.ref_masks):
+        np.testing.assert_allclose(
+            to_ncdhw(got_m), ref_m.numpy(), rtol=1e-3, atol=2e-4)
+
+
+def test_baseline_config1_forward_plus_dice_parity(small_setup):
+    """BASELINE.json config 1: MaskTransUnet forward + Dice loss on one patch
+    must match the reference numerically (forward through converted weights,
+    DiceClassLoss on both sides)."""
+    from lintransunet_tpu.losses.binary import DiceClassLoss
+
+    got_dice = float(DiceClassLoss()(
+        small_setup.got_prob, jnp.asarray(small_setup.label[:, 0])))
+    assert got_dice == pytest.approx(small_setup.ref_dice, rel=1e-4, abs=1e-5)

@@ -9,9 +9,9 @@ from lintransunet_tpu.losses import binary as bin_losses
 from lintransunet_tpu.models import MaskTransUnet
 
 TINY = dict(
-    num_layers=(8, 16, 32),
-    roi_size_list=(8, 6, 4),
-    is_roi_list=(False, True, True),
+    num_layers=(8, 32),
+    roi_size_list=(6, 4),
+    is_roi_list=(False, True),
     dim_input=1,
     dim_output=2,
     n_layers=1,  # single-layer bridges: CPU-mesh compile time, same SPMD shape
@@ -30,11 +30,11 @@ def test_dp_train_step_matches_single_device(rng):
     state = engine.create_train_state(model, jax.random.PRNGKey(0), x0,
                                       learning_rate=1e-3)
     criterions = [bin_losses.get_criterions(["CrossEntroLoss", "DiceClassLoss"])
-                  for _ in range(3)]
+                  for _ in range(2)]
 
     images = rng.standard_normal((8, 16, 16, 4, 1)).astype(np.float32)
     labels = (rng.random((8, 16, 16, 4)) > 0.8).astype(np.int32)
-    dyn_w = jnp.ones((3,), jnp.float32)
+    dyn_w = jnp.ones((2,), jnp.float32)
     key = jax.random.PRNGKey(7)
 
     step_plain = engine.make_train_step(model, criterions, donate=False)
@@ -114,13 +114,13 @@ def test_train_cli_runs_data_parallel(tmp_path):
         log_dir=str(tmp_path / "runs"), model_dir=str(tmp_path / "out"),
         criterion_list=("CrossEntroLoss", "DiceClassLoss"),
         criterion_weight=(1.0, 1.0),
-        weight_list=(0.1, 0.1, 1.0), final_weight=(2.0, 1.0, 1.0),
-        initial_weight=(0.1, 0.3, 1.0), fold_num=0, split_json=split,
+        weight_list=(0.1, 1.0), final_weight=(2.0, 1.0),
+        initial_weight=(0.1, 1.0), fold_num=0, split_json=split,
         learning_rate=1e-3, plateau_factor=0.8, plateau_patience=5,
         plateau_threshold=1e-2, plateau_cooldown=1, min_lr=1e-7,
         warmup_step=1, weight_T=12.0, num_classes=2, seed=0,
-        model_name="MaskTransUnet", num_layers=(8, 16, 32),
-        roi_size_list=(8, 6, 4), is_roi_list=(False, True, True),
+        model_name="MaskTransUnet", num_layers=(8, 32),
+        roi_size_list=(6, 4), is_roi_list=(False, True),
         dim_input=1, dim_output=2, kernel_size=3, compute_dtype="float32",
         image_crop=16, attn_layers=1,
     )
