@@ -21,8 +21,16 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: repeated suite runs (CI, local loops) skip
 # recompiling the big 5-level model graphs, which dominate wall-clock on the
 # CPU runner. Cold runs are unaffected; warm runs drop by minutes.
+# Key the cache by the host CPU so an AOT executable compiled on one
+# machine is never loaded on another (XLA:CPU AOT results embed machine
+# features; cross-machine reuse risks SIGILL).
+import hashlib
+import platform
+
+_cpu_key = hashlib.sha1(
+    (platform.machine() + platform.processor()).encode()).hexdigest()[:10]
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/lintransunet_jax_tests"))
+                  os.path.expanduser(f"~/.cache/lintransunet_jax_tests_{_cpu_key}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
