@@ -20,6 +20,7 @@ Packed kernels are 4x the FLOPs but run at ~8x the efficiency, and every
 surrounding elementwise/norm op sees a 4x-fuller minor dim.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -192,9 +193,34 @@ def pack_kernel_stride2(kernel: np.ndarray) -> np.ndarray:
 
 def packed_conv3d_stride1(x_packed: jnp.ndarray, packed_kernel, bias=None,
                           kd_pad: int = 1) -> jnp.ndarray:
-    """Packed-layout equivalent of conv3d(stride=1, padding=1)."""
-    return conv3d(x_packed, packed_kernel, bias=bias, stride=1,
-                  padding=(1, 1, kd_pad))
+    """Packed-layout equivalent of conv3d(stride=1, padding=1).
+
+    Computed as THREE depth-shifted 2D convolutions with depth folded into
+    the batch dimension: XLA's TPU conv2d lowering runs these ~1.6x faster
+    than the equivalent conv3d at the model's packed shapes (measured 78.9
+    vs 48.4 raw TFLOP/s on the decoder-L0 conv, v5e;
+    experiments/conv_formulation_bench.py). Depth shifts are sliced
+    per-volume so multi-sample batches never leak across volumes.
+    """
+    kd = packed_kernel.shape[2]
+    if kd != 3 or kd_pad != 1:
+        return conv3d(x_packed, packed_kernel, bias=bias, stride=1,
+                      padding=(1, 1, kd_pad))
+    n, h2, w2, d, c4 = x_packed.shape
+    o4 = packed_kernel.shape[-1]
+    pad = jnp.pad(x_packed, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+    out = None
+    for dp in range(3):
+        xs = pad[:, :, :, dp:dp + d, :]
+        xb = xs.transpose(0, 3, 1, 2, 4).reshape(n * d, h2, w2, c4)
+        y = jax.lax.conv_general_dilated(
+            xb, packed_kernel[:, :, dp], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = y if out is None else out + y
+    out = out.reshape(n, d, h2, w2, o4).transpose(0, 2, 3, 1, 4)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
 
 
 def packed_conv3d_stride2(x_packed: jnp.ndarray, packed_kernel, bias=None,

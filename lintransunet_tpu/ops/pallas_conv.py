@@ -66,15 +66,25 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, *shifts, th, tw, d):
         content = tile[:, :, dp:dp + d, :].reshape((th + 2) * row_blk, c4)
         buf[row_blk:(th + 3) * row_blk, :] = content
 
+    # fori_loop over the 9 H/W taps per depth shift: a static unroll keeps
+    # all 27 slice values live on the Mosaic stack simultaneously (~17 MB,
+    # scoped-vmem OOM); the loop reuses one buffer. Offsets stay multiples
+    # of D (sublane-aligned) — pl.multiple_of preserves the hint. The
+    # offset is computed from the loop index (a table would be a captured
+    # constant, which pallas kernels reject).
     acc = jnp.zeros((m_out, o4), jnp.float32)
     for dp in range(3):
-        for dh in (-1, 0, 1):
-            for dw in (-1, 0, 1):
-                off = base + (dh * (tw + 2) + dw) * d
-                a = shifts[dp][off:off + m_out, :]
-                t = (dh + 1) * 9 + (dw + 1) * 3 + dp
-                acc = acc + jax.lax.dot(
-                    a, w_ref[t], preferred_element_type=jnp.float32)
+        buf = shifts[dp]
+
+        def tap(i, acc, buf=buf, dp=dp):
+            dh = i // 3 - 1
+            dw = i % 3 - 1
+            off = pl.multiple_of(base + (dh * (tw + 2) + dw) * d, d)
+            a = buf[pl.ds(off, m_out), :]
+            return acc + jax.lax.dot(
+                a, w_ref[dp, i], preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(0, 9, tap, acc)
 
     acc = acc + b_ref[:].astype(jnp.float32)[None, :]
     out = acc.reshape(th, tw + 2, d, o4)[:, 1:tw + 1]
@@ -96,9 +106,10 @@ def _build_halo_tiles(xp: jnp.ndarray, th: int, tw: int) -> jnp.ndarray:
 
 
 def _tap_weights(packed_kernel: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, 3, C4, O4) -> (27, C4, O4), tap index = dh*9 + dw*3 + dp."""
-    k = packed_kernel.transpose(0, 1, 2, 3, 4)
-    return k.reshape(27, packed_kernel.shape[3], packed_kernel.shape[4])
+    """(3, 3, 3, C4, O4) -> (3, 9, C4, O4): [dp, dh*3 + dw] tap order."""
+    c4, o4 = packed_kernel.shape[3], packed_kernel.shape[4]
+    k = packed_kernel.transpose(2, 0, 1, 3, 4)  # (dp, dh, dw, C4, O4)
+    return k.reshape(3, 9, c4, o4)
 
 
 @functools.partial(jax.jit, static_argnames=("th", "tw", "interpret"))
@@ -134,7 +145,7 @@ def packed_conv3d_stride1_pallas(
                 pl.BlockSpec((1, 1, th + 2, tw + 2, d + 2, c4),
                              lambda i, j: (i, j, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((27, c4, o4), lambda i, j: (0, 0, 0),
+                pl.BlockSpec((3, 9, c4, o4), lambda i, j: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((o4,), lambda i, j: (0,),
                              memory_space=pltpu.VMEM),
