@@ -88,47 +88,167 @@ def linear_attention_pallas(query, key, value, interpret: bool = False):
     return _forward(query, key, value, interpret)
 
 
+# Above ~16k tokens the whole-N kernel's f32 working set approaches the
+# 16 MB VMEM limit (measured OOM at 28.8k tokens x batch 5); the token-tiled
+# two-pass path below has O(TILE_N) VMEM instead.
+WHOLE_N_LIMIT = 16384
+TILE_N = 4096
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _forward(query, key, value, interpret: bool = False):
     b, h, n, d = query.shape
     d_v = value.shape[-1]
     bh = b * h
 
+    tiled = n > WHOLE_N_LIMIT
+    align = TILE_N if tiled else LANE
+
     def to_dn(t):
         t = t.reshape(bh, n, t.shape[-1]).swapaxes(1, 2)  # (BH, d, N)
-        pad_n = (-n) % LANE
+        pad_n = (-n) % align
         if pad_n:
             t = jnp.pad(t, ((0, 0), (0, 0), (0, pad_n)))
         return t
 
     qt, vt = to_dn(query), to_dn(value)
     kt = key.reshape(bh, n, d).swapaxes(1, 2)
-    pad_n = (-n) % LANE
+    pad_n = (-n) % align
     if pad_n:
         # padded K tokens get -1e9 so their softmax weight vanishes
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_n)),
                      constant_values=-1e9)
     n_pad = n + pad_n
 
-    out = pl.pallas_call(
-        _kernel,
-        grid=(bh,),
-        in_specs=[
-            pl.BlockSpec((1, d, n_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, n_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d_v, n_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, d_v, n_pad), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, d_v, n_pad), query.dtype),
-        interpret=interpret,
-    )(qt, kt, vt)
+    if tiled:
+        out = _tiled_call(qt, kt, vt, interpret)
+    else:
+        out = pl.pallas_call(
+            _kernel,
+            grid=(bh,),
+            in_specs=[
+                pl.BlockSpec((1, d, n_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, n_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d_v, n_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, d_v, n_pad), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, d_v, n_pad), query.dtype),
+            interpret=interpret,
+        )(qt, kt, vt)
 
     out = out[:, :, :n].swapaxes(1, 2).reshape(b, h, n, d_v)
     return out
+
+
+def _stats_kernel(k_ref, v_ref, ctx_ref, m_ref, s_ref,
+                  m_scr, s_scr, ctx_scr):
+    """Pass 1, sequential over token tiles: online token-axis softmax stats
+    for K plus the rescaled context accumulation.
+
+    k/v refs: (1, d, TILE_N); outputs (written at the last tile):
+    ctx (1, d, d_v) f32, m/s (1, d, LANE) f32 (stat broadcast over lanes).
+    """
+    t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+
+    tile_max = jnp.max(k, axis=1, keepdims=True)              # (d, 1)
+
+    @pl.when(t == 0)
+    def _():
+        m_scr[:, :] = jnp.full_like(m_scr, -jnp.inf)
+        s_scr[:, :] = jnp.zeros_like(s_scr)
+        ctx_scr[:, :] = jnp.zeros_like(ctx_scr)
+
+    m_old = m_scr[:, 0:1]
+    m_new = jnp.maximum(m_old, tile_max)
+    rescale = jnp.exp(m_old - m_new)                          # (d, 1)
+    e = jnp.exp(k - m_new)                                    # (d, TILE_N)
+    s_scr[:, :] = s_scr[:, :] * rescale + jnp.sum(
+        e, axis=1, keepdims=True)
+    ctx_scr[:, :] = ctx_scr[:, :] * rescale + jax.lax.dot_general(
+        e, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:, :] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        ctx_ref[0] = ctx_scr[:, :]
+        m_ref[0] = jnp.broadcast_to(m_scr[:, 0:1], m_ref.shape[1:])
+        s_ref[0] = jnp.broadcast_to(s_scr[:, 0:1], s_ref.shape[1:])
+
+
+def _out_kernel(q_ref, ctx_ref, s_ref, o_ref):
+    """Pass 2, parallel over tiles: out = (ctx/s)^T @ softmax_d(Q)/sqrt(d)."""
+    q = q_ref[0].astype(jnp.float32)
+    d_k = q.shape[0]
+    q_max = jnp.max(q, axis=0, keepdims=True)
+    q_exp = jnp.exp(q - q_max)
+    q_soft = q_exp / jnp.sum(q_exp, axis=0, keepdims=True)
+    q_soft = q_soft * (1.0 / math.sqrt(d_k))
+    ctx = ctx_ref[0] / s_ref[0][:, 0:1]
+    out = jax.lax.dot_general(
+        ctx, q_soft, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _tiled_call(qt, kt, vt, interpret):
+    bh, d, n_pad = qt.shape
+    d_v = vt.shape[1]
+    n_tiles = n_pad // TILE_N
+
+    ctx, m, s = pl.pallas_call(
+        _stats_kernel,
+        grid=(bh, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, d, TILE_N), lambda i, t: (i, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_v, TILE_N), lambda i, t: (i, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, d, d_v), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, LANE), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, LANE), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, d, d_v), jnp.float32),
+            jax.ShapeDtypeStruct((bh, d, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((bh, d, LANE), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, LANE), jnp.float32),
+            pltpu.VMEM((d, LANE), jnp.float32),
+            pltpu.VMEM((d, d_v), jnp.float32),
+        ],
+        interpret=interpret,
+    )(kt, vt)
+
+    return pl.pallas_call(
+        _out_kernel,
+        grid=(bh, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, d, TILE_N), lambda i, t: (i, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, d_v), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, LANE), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d_v, TILE_N), lambda i, t: (i, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, d_v, n_pad), qt.dtype),
+        interpret=interpret,
+    )(qt, ctx, s)
 
 
 def _fwd(query, key, value, interpret: bool = False):
