@@ -202,8 +202,11 @@ def packed_conv3d_stride1(x_packed: jnp.ndarray, packed_kernel, bias=None,
     experiments/conv_formulation_bench.py). Depth shifts are sliced
     per-volume so multi-sample batches never leak across volumes.
     """
+    import os
+
     kd = packed_kernel.shape[2]
-    if kd != 3 or kd_pad != 1:
+    if (kd != 3 or kd_pad != 1
+            or os.environ.get("LINTRANSUNET_CONV3D") == "1"):
         return conv3d(x_packed, packed_kernel, bias=bias, stride=1,
                       padding=(1, 1, kd_pad))
     n, h2, w2, d, c4 = x_packed.shape
