@@ -31,7 +31,14 @@ def main():
                         help="chunk-count bucket for the runner's jit cache; "
                              "1 = no pad forwards (best for a single-shape "
                              "benchmark volume)")
+    parser.add_argument("--train", action="store_true",
+                        help="measure the training step (512x512x32 patch, "
+                             "deep supervision, AdamW) instead of inference")
+    parser.add_argument("--train_batch", type=int, default=1)
     args = parser.parse_args()
+
+    if args.train:
+        return train_bench(args)
 
     import jax
     import jax.numpy as jnp
@@ -108,6 +115,73 @@ def main():
         "value": round(value, 2),
         "unit": "patches/sec/chip",
         "vs_baseline": round(value / 500.0, 4),
+    }))
+
+
+def train_bench(args):
+    """Training-step wall clock: the reference envelope's per-chip step.
+
+    512x512x32 patch (train3D.py:44-49), 5-level deep-supervision criterion
+    schedule (train3D.py:139-155), epoch-0 dynamic weights, AdamW, bf16
+    compute. Prints ONE JSON line: ms/step; vs_baseline is the fraction of
+    the round-1 measured 431 ms/step (lower is better).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lintransunet_tpu import engine
+    from lintransunet_tpu.cli.common import get_criterion_list
+    from lintransunet_tpu.engine.schedule import get_dynamic_weight
+    from lintransunet_tpu.losses import binary as loss_module
+    from lintransunet_tpu.models import MaskTransUnet
+
+    model = MaskTransUnet(
+        num_layers=(16, 32, 64, 128, 256),
+        roi_size_list=(100, 65, 40, 25, 10),
+        is_roi_list=(False, True, True, True, True),
+        dim_input=1, dim_output=2, packed_levels=2, dtype=jnp.bfloat16)
+
+    b = args.train_batch
+    shape = (b, 512, 512, 32, 1)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+    lbl = np.zeros(shape[:4], np.int32)
+    lbl[:, 200:320, 220:300, 8:24] = 1
+    labels = jnp.asarray(lbl)
+
+    sample = jnp.zeros(shape, jnp.bfloat16)
+    state = engine.create_train_state(
+        model, jax.random.PRNGKey(0), sample, learning_rate=1e-4)
+    criterions, _ = get_criterion_list(
+        5, ["CrossEntroLoss", "DiceClassLoss"], loss_module)
+    step_fn = engine.make_train_step(model, criterions)
+    dyn_w = jnp.asarray(get_dynamic_weight(
+        epochs=1, T=12.0, warmup_step=10,
+        weight_list=(0.05, 0.05, 0.1, 0.1, 1.0),
+        initial_weight=(0.1, 0.2, 0.3, 0.4, 1.0),
+        final_weight=(2.0, 1.5, 1.0, 1.0, 1.0))[0], jnp.float32)
+
+    def run(state, key):
+        state, loss, _ = step_fn(state, images, labels, dyn_w, key)
+        return state, float(loss)  # scalar transfer = reliable sync
+
+    print("compiling train step...", file=sys.stderr)
+    state, loss = run(state, jax.random.PRNGKey(1))
+    times = []
+    for i in range(max(args.runs, 3)):
+        t0 = time.perf_counter()
+        state, loss = run(state, jax.random.PRNGKey(2 + i))
+        times.append(time.perf_counter() - t0)
+    best_ms = min(times) * 1000 / b
+    print(f"loss={loss:.4f} times={[f'{t*1000:.0f}ms' for t in times]}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "train step ms (MaskTransUnet bf16, 512x512x32 patch, "
+                  "5-level deep supervision, AdamW)",
+        "value": round(best_ms, 1),
+        "unit": "ms/step",
+        "vs_baseline": round(best_ms / 431.0, 4),
     }))
 
 

@@ -43,6 +43,18 @@ def get_parse():
     parser.add_argument("--attn_layers", type=int, default=8)
     # eval sliding-window depth (utils_3D_embed_full.py:135 hard-codes 64)
     parser.add_argument("--eval_depth", type=int, default=64)
+    # Spacingd/Orientationd controls (CT_pancreas_monai.py:47-48 applies
+    # both unconditionally; NIfTI affines override source_spacing/axcodes)
+    parser.add_argument("--no_resample", action="store_true",
+                        help="skip Spacingd resampling to pixdim")
+    parser.add_argument("--no_orient", action="store_true",
+                        help="skip Orientationd-to-RAS")
+    parser.add_argument("--source_spacing",
+                        type=lambda s: tuple(float(x) for x in s.split(",")),
+                        default=(1.0, 1.0, 1.0),
+                        help="per-axis mm spacing of .npy sources")
+    parser.add_argument("--source_axcodes", type=str, default="SRA",
+                        help="anatomical axis codes of .npy sources")
     return parser.parse_args()
 
 
@@ -62,11 +74,17 @@ def main(args):
     batch_size = args.batch_size * num_devices
 
     train_ids, test_ids = load_fold(args.split_json, fold_num)
+    prep = dict(
+        resample=not getattr(args, "no_resample", False),
+        orient=not getattr(args, "no_orient", False),
+        source_spacing=getattr(args, "source_spacing", (1.0, 1.0, 1.0)),
+        source_axcodes=getattr(args, "source_axcodes", "SRA"))
     train_ds = CachePanDataset(root=args.dir_data, depth_size=args.depth_size,
                                num_samples=1, ids=train_ids,
-                               image_crop=args.image_crop, seed=args.seed)
+                               image_crop=args.image_crop, seed=args.seed,
+                               **prep)
     test_ds = EvaPanDataset(root=args.dir_data, depth_size=args.depth_size,
-                            ids=test_ids)
+                            ids=test_ids, **prep)
     train_dl = DataLoader(train_ds, batch_size=batch_size, shuffle=True,
                           num_workers=8, seed=args.seed)
     test_dl = DataLoader(test_ds, batch_size=1, shuffle=False, num_workers=2)

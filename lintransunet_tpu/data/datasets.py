@@ -153,12 +153,21 @@ class MultiClassEvaDataset(EvaPanCTDataset):
 class CachePanDataset:
     """MONAI-CacheDataset equivalent (CT_pancreas_monai.py:18-68).
 
-    Deterministic preprocessing (load, intensity scaling, Spacingd resample
-    to (0.5, 0.5, 2.0), RAS orientation) is computed once across worker
-    threads and cached in RAM; random transforms (pos/neg crop, flip axis 0,
-    rot90) run per access. Source files are .npy volumes with spacing
-    metadata defaulting to 1mm isotropic ((D, H, W) layout) — NIfTI loading
-    is gated on nibabel availability.
+    Deterministic preprocessing — load, ScaleIntensityRanged, Spacingd
+    resample to pixdim (0.5, 0.5, 2.0) and Orientationd-to-RAS
+    (CT_pancreas_monai.py:41-48, both unconditional in the reference) — is
+    computed once across worker threads and cached in RAM; random transforms
+    (pos/neg crop, flip axis 0, rot90) run per access.
+
+    Sources are ``.nii``/``.nii.gz`` (first-party reader, spacing/axcodes
+    derived from the affine — data/nifti.py) or ``.npy`` volumes, whose
+    layout is described by ``source_axcodes``/``source_spacing`` (defaults:
+    "SRA" + 1 mm isotropic; "SRA" makes orientation reduce to the historic
+    (D, H, W) -> (H, W, D) transpose). The pipeline orients FIRST, then
+    resamples with per-axis spacing permuted to RAS — mathematically the
+    same volume MONAI's world-space Spacingd -> Orientationd chain produces
+    for axis-aligned affines, with pixdim then matching array axes 1:1.
+    After RAS orientation the array is already the model's (H, W, D) layout.
     """
 
     low_clip, high_clip = -96.0, 215.0
@@ -167,7 +176,8 @@ class CachePanDataset:
 
     def __init__(self, root, depth_size: int, num_samples: int = 1,
                  ids=None, image_crop: int = 512, num_workers: int = 8,
-                 source_spacing=(1.0, 1.0, 1.0), resample: bool = False,
+                 source_spacing=(1.0, 1.0, 1.0), source_axcodes: str = "SRA",
+                 resample: bool = True, orient: bool = True,
                  seed: int = 0, train: bool = True):
         self.root = root
         self.depth_size = depth_size
@@ -185,38 +195,56 @@ class CachePanDataset:
             ids = range(len(imgs))
         self._files = [(os.path.join(root, img_dir, imgs[i]),
                         os.path.join(root, lbl_dir, lbls[i])) for i in ids]
-        self.source_spacing = source_spacing
+        self.source_spacing = tuple(float(s) for s in source_spacing)
+        self.source_axcodes = source_axcodes
         self.resample = resample
+        self.orient = orient
 
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
             self._cache = list(pool.map(self._prepare, range(len(self._files))))
 
-    def _load_volume(self, path: str) -> np.ndarray:
+    def _load_volume(self, path: str):
+        """-> (array, affine or None). NIfTI via the first-party reader."""
         if path.endswith(".npy"):
-            return np.load(path)
-        try:
-            import nibabel as nib  # pragma: no cover - gated dependency
+            return np.load(path), None
+        from lintransunet_tpu.data import nifti
 
-            return np.asarray(nib.load(path).dataobj)
-        except ImportError as exc:  # pragma: no cover
-            raise RuntimeError(
-                "NIfTI input requires nibabel, which is not available in "
-                "this image; convert volumes to .npy") from exc
+        return nifti.read_nifti(path)
 
     def _prepare(self, index: int):
         img_path, lbl_path = self._files[index]
-        img = self._load_volume(img_path).astype(np.float32)
-        label = self._load_volume(lbl_path)
+        img, affine = self._load_volume(img_path)
+        label, _ = self._load_volume(lbl_path)
         img = T.scale_intensity_range(
-            img, self.low_clip, self.high_clip,
+            img.astype(np.float32), self.low_clip, self.high_clip,
             (self.low_clip - self.mean) / self.std,
             (self.high_clip - self.mean) / self.std, clip=True)
+
+        if affine is not None:
+            spacing, axcodes = T.affine_to_spacing_axcodes(affine)
+        else:
+            spacing, axcodes = self.source_spacing, self.source_axcodes
+
+        order, _ = T.ras_permutation(axcodes)
+        if self.orient:
+            img = T.orient_ras(img, axcodes)
+            label = T.orient_ras(label, axcodes)
+            spacing = tuple(spacing[o] for o in order)
+            target = self.pixdim
+        else:
+            # pixdim is RAS-ordered; permute it back onto the source axes
+            target = [0.0] * 3
+            for t, src in enumerate(order):
+                target[src] = self.pixdim[t]
         if self.resample:
             img, label = T.spacing_resample(
-                img, self.source_spacing, self.pixdim, order=1, label=label)
-        img = img.transpose(1, 2, 0)
-        label = label.transpose(1, 2, 0).astype(np.uint8)
-        return img, label
+                img, spacing, target, order=1, label=label)
+        if not self.orient:
+            # legacy (D, H, W) .npy layout without reorientation
+            img = img.transpose(1, 2, 0)
+            label = label.transpose(1, 2, 0)
+        return np.ascontiguousarray(img), \
+            np.ascontiguousarray(label).astype(np.uint8)
 
     def __len__(self) -> int:
         return len(self._cache)

@@ -185,22 +185,50 @@ def spacing_resample(img: np.ndarray, current: Sequence[float],
     return out_img, out_lbl
 
 
+def affine_to_spacing_axcodes(affine: np.ndarray):
+    """(4x4 voxel->world-RAS affine) -> (per-axis spacing, axcodes).
+
+    spacing[j] is the world-mm step of array axis j (column norm); axcodes[j]
+    is the anatomical direction that axis points toward (R/L, A/P, S/I) —
+    the same convention as nibabel ``aff2axcodes``. Only needs the affine to
+    be axis-dominant (each array axis mostly along one world axis), which
+    holds for every scanner-exported CT this pipeline targets.
+    """
+    rot = np.asarray(affine, np.float64)[:3, :3]
+    spacing = np.linalg.norm(rot, axis=0)
+    labels = (("L", "R"), ("P", "A"), ("I", "S"))
+    codes = []
+    for j in range(3):
+        col = rot[:, j] / max(spacing[j], 1e-12)
+        i = int(np.argmax(np.abs(col)))
+        codes.append(labels[i][1] if col[i] > 0 else labels[i][0])
+    return tuple(float(s) for s in spacing), "".join(codes)
+
+
 _FLIP_FOR_RAS = {"L": 0, "P": 1, "I": 2}
+
+
+def ras_permutation(axcodes: str):
+    """(order, flips) taking axes labelled ``axcodes`` onto (R, A, S).
+
+    ``order[t]`` is the source axis that lands on target axis t; ``flips[t]``
+    is True when that source axis points the negative way (L/P/I)."""
+    order = []
+    flips = []
+    have = [c.upper() for c in axcodes]
+    pos_of = {"R": 0, "L": 0, "A": 1, "P": 1, "S": 2, "I": 2}
+    for target_axis in range(3):
+        src = next(i for i, c in enumerate(have) if pos_of[c] == target_axis)
+        order.append(src)
+        flips.append(have[src] in ("L", "P", "I"))
+    return order, flips
 
 
 def orient_ras(volume: np.ndarray, axcodes: str) -> np.ndarray:
     """MONAI Orientationd to RAS given the current axis codes
     (CT_pancreas_monai.py:48). Axes already (R/A/S or L/P/I)-aligned only."""
     assert len(axcodes) == volume.ndim
-    order = []
-    flips = []
-    want = "RAS"
-    have = [c.upper() for c in axcodes]
-    pos_of = {"R": 0, "L": 0, "A": 1, "P": 1, "S": 2, "I": 2}
-    for target_axis, w in enumerate(want):
-        src = next(i for i, c in enumerate(have) if pos_of[c] == target_axis)
-        order.append(src)
-        flips.append(have[src] in ("L", "P", "I"))
+    order, flips = ras_permutation(axcodes)
     out = np.transpose(volume, order)
     for axis, f in enumerate(flips):
         if f:

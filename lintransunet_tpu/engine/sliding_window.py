@@ -225,7 +225,10 @@ class SlidingWindowRunner:
 
     def __init__(self, predictor, roi_size, sw_batch_size, overlap=0.6,
                  mode="constant", sigma_scale=0.0, depth_bucket=32,
-                 chunk_bucket=2):
+                 chunk_bucket=1):
+        # chunk_bucket=1 (default) never pays pad-window forwards — the
+        # honest-bench configuration. Raise it only when a dataset's depth
+        # spread causes too many distinct compiled programs.
         self.predictor = predictor
         self.roi_size = tuple(roi_size)
         self.sw_batch_size = sw_batch_size

@@ -178,6 +178,28 @@ def _from_tokens_dhw(t: Array, hwd: Tuple[int, int, int]) -> Array:
     return t.reshape(n, d, h, w, c).transpose(0, 2, 3, 1, 4)
 
 
+def _fused_layer_stack(module, tokens: Array, hwd, peg_factory, train: bool,
+                       n_layers: int, nhead: int) -> Array:
+    """Eval fast path: run the layer stack through the fused Pallas kernel
+    (ops/pallas_layer.py), splitting at the PEG re-injection after layer 0.
+
+    Reads the SelfAttentionLayer params created by the unfused loop (which
+    always runs at init) via ``module.variables`` — same names, same
+    checkpoint format; only the execution schedule differs.
+    """
+    from lintransunet_tpu.ops import pallas_layer as pll
+
+    p = module.variables["params"]
+    a0, w20, v0 = pll.stack_layer_params([p["layers_0"]])
+    tokens = pll.fused_transformer_stack(tokens, a0, w20, v0, nhead)
+    tokens = _peg_on_tokens(tokens, hwd, peg_factory(), train)
+    if n_layers > 1:
+        a1, w21, v1 = pll.stack_layer_params(
+            [p[f"layers_{i}"] for i in range(1, n_layers)])
+        tokens = pll.fused_transformer_stack(tokens, a1, w21, v1, nhead)
+    return tokens
+
+
 def _peg_on_tokens(tokens: Array, hwd: Tuple[int, int, int], peg,
                    train: bool) -> Array:
     """Apply a PEG to (D, H, W)-ordered tokens.
@@ -220,18 +242,27 @@ class PosAttention3DBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None,
                  train: bool = False) -> Array:
+        from lintransunet_tpu.ops.pallas_layer import fused_stack_supported
+
         tokens, hwd = _to_tokens_dhw(x)
         if mask is not None:
             mask, _ = _to_tokens_dhw(mask)
             mask = mask != 0
-        for i in range(self.n_layers):
-            tokens = SelfAttentionLayer(
-                self.d_model, self.nhead, 2 * self.d_model, self.dropout,
-                dtype=self.dtype, name=f"layers_{i}")(tokens, mask, train=train)
-            if i == 0:
-                peg = ConvPosEmbed3d(self.d_model, self.dropout,
-                                     dtype=self.dtype, name="pos_encoders_0")
-                tokens = _peg_on_tokens(tokens, hwd, peg, train)
+        peg_f = lambda: ConvPosEmbed3d(self.d_model, self.dropout,
+                                       dtype=self.dtype,
+                                       name="pos_encoders_0")
+        if (not train and mask is None and not self.is_initializing()
+                and fused_stack_supported(self.d_model, self.nhead)):
+            tokens = _fused_layer_stack(self, tokens, hwd, peg_f, train,
+                                        self.n_layers, self.nhead)
+        else:
+            for i in range(self.n_layers):
+                tokens = SelfAttentionLayer(
+                    self.d_model, self.nhead, 2 * self.d_model, self.dropout,
+                    dtype=self.dtype, name=f"layers_{i}")(tokens, mask,
+                                                          train=train)
+                if i == 0:
+                    tokens = _peg_on_tokens(tokens, hwd, peg_f(), train)
         return _from_tokens_dhw(tokens, hwd)
 
 
@@ -400,18 +431,25 @@ class EmbedAttention3DBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        from lintransunet_tpu.ops.pallas_layer import fused_stack_supported
+
         x = DownEmbedBlock(self.in_dim, self.d_model, down_times=1,
                            dropout=self.dropout, dtype=self.dtype,
                            name="down_embed")(x, train=train)
         tokens, hwd = _to_tokens_dhw(x)
-        for i in range(self.n_layers):
-            tokens = SelfAttentionLayer(
-                self.d_model, self.nhead, 2 * self.d_model, self.dropout,
-                dtype=self.dtype, name=f"layers_{i}")(tokens, train=train)
-            if i == 0:
-                peg = ConvPosEmbed3d(self.d_model, self.dropout,
-                                     dtype=self.dtype, name="pos_encoder")
-                tokens = _peg_on_tokens(tokens, hwd, peg, train)
+        peg_f = lambda: ConvPosEmbed3d(self.d_model, self.dropout,
+                                       dtype=self.dtype, name="pos_encoder")
+        if (not train and not self.is_initializing()
+                and fused_stack_supported(self.d_model, self.nhead)):
+            tokens = _fused_layer_stack(self, tokens, hwd, peg_f, train,
+                                        self.n_layers, self.nhead)
+        else:
+            for i in range(self.n_layers):
+                tokens = SelfAttentionLayer(
+                    self.d_model, self.nhead, 2 * self.d_model, self.dropout,
+                    dtype=self.dtype, name=f"layers_{i}")(tokens, train=train)
+                if i == 0:
+                    tokens = _peg_on_tokens(tokens, hwd, peg_f(), train)
         x = _from_tokens_dhw(tokens, hwd)
         return UpEmbedBlock(self.in_dim, self.d_model, down_times=1,
                             dropout=self.dropout, dtype=self.dtype,

@@ -20,11 +20,19 @@ Packed kernels are 4x the FLOPs but run at ~8x the efficiency, and every
 surrounding elementwise/norm op sees a 4x-fuller minor dim.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from lintransunet_tpu.ops.conv import conv3d
+
+# Read once at import time: this flag is consulted at TRACE time inside
+# jitted model code, so mutating the env var after programs are compiled
+# (and cached) could never take effect anyway. Import-time freeze makes the
+# contract explicit: set LINTRANSUNET_CONV3D=1 before importing the package.
+FORCE_CONV3D = os.environ.get("LINTRANSUNET_CONV3D") == "1"
 
 
 def pack_kernel_stride1_jnp(kernel: jnp.ndarray) -> jnp.ndarray:
@@ -202,13 +210,12 @@ def packed_conv3d_stride1(x_packed: jnp.ndarray, packed_kernel, bias=None,
     experiments/conv_formulation_bench.py). Depth shifts are sliced
     per-volume so multi-sample batches never leak across volumes.
     """
-    import os
-
     kd = packed_kernel.shape[2]
-    if (kd != 3 or kd_pad != 1
-            or os.environ.get("LINTRANSUNET_CONV3D") == "1"):
+    if kd != 3 or kd_pad != 1 or FORCE_CONV3D:
         return conv3d(x_packed, packed_kernel, bias=bias, stride=1,
                       padding=(1, 1, kd_pad))
+    # match conv3d's implicit kernel-to-input dtype cast (torch semantics)
+    packed_kernel = packed_kernel.astype(x_packed.dtype)
     n, h2, w2, d, c4 = x_packed.shape
     o4 = packed_kernel.shape[-1]
     pad = jnp.pad(x_packed, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))

@@ -144,13 +144,14 @@ def _forward(query, key, value, interpret: bool = False):
     return out
 
 
-def _stats_kernel(k_ref, v_ref, ctx_ref, m_ref, s_ref,
+def _stats_kernel(k_ref, v_ref, ctx_ref, s_ref,
                   m_scr, s_scr, ctx_scr):
     """Pass 1, sequential over token tiles: online token-axis softmax stats
     for K plus the rescaled context accumulation.
 
     k/v refs: (1, d, TILE_N); outputs (written at the last tile):
-    ctx (1, d, d_v) f32, m/s (1, d, LANE) f32 (stat broadcast over lanes).
+    ctx (1, d, d_v) f32, s (1, d, LANE) f32 (stat broadcast over lanes).
+    The running max lives purely in scratch — pass 2 only needs ctx/s.
     """
     t = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -179,7 +180,6 @@ def _stats_kernel(k_ref, v_ref, ctx_ref, m_ref, s_ref,
     @pl.when(t == n_tiles - 1)
     def _():
         ctx_ref[0] = ctx_scr[:, :]
-        m_ref[0] = jnp.broadcast_to(m_scr[:, 0:1], m_ref.shape[1:])
         s_ref[0] = jnp.broadcast_to(s_scr[:, 0:1], s_ref.shape[1:])
 
 
@@ -203,7 +203,7 @@ def _tiled_call(qt, kt, vt, interpret):
     d_v = vt.shape[1]
     n_tiles = n_pad // TILE_N
 
-    ctx, m, s = pl.pallas_call(
+    ctx, s = pl.pallas_call(
         _stats_kernel,
         grid=(bh, n_tiles),
         in_specs=[
@@ -217,12 +217,9 @@ def _tiled_call(qt, kt, vt, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, LANE), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, LANE), lambda i, t: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, d, d_v), jnp.float32),
-            jax.ShapeDtypeStruct((bh, d, LANE), jnp.float32),
             jax.ShapeDtypeStruct((bh, d, LANE), jnp.float32),
         ),
         scratch_shapes=[

@@ -27,8 +27,24 @@ jax.config.update("jax_platforms", "cpu")
 import hashlib
 import platform
 
-_cpu_key = hashlib.sha1(
-    (platform.machine() + platform.processor()).encode()).hexdigest()[:10]
+
+def _host_signature() -> str:
+    """Microarch-aware host key: platform.processor() is usually empty on
+    Linux, so fold in the CPU feature flags from /proc/cpuinfo (they encode
+    the ISA extensions AOT code may use) plus the hostname as a tiebreak."""
+    parts = [platform.machine(), platform.processor(), platform.node()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return "|".join(parts)
+
+
+_cpu_key = hashlib.sha1(_host_signature().encode()).hexdigest()[:10]
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser(f"~/.cache/lintransunet_jax_tests_{_cpu_key}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

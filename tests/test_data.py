@@ -197,3 +197,139 @@ def test_cache_pan_dataset_caches_and_randomises(data_root):
     img, lbl = eva[0]
     assert img.shape[0] == 1 and img.shape[-1] == 1
     assert lbl.shape == img.shape[:-1]
+
+
+# ---------------------------------------------------------------------------
+# NIfTI ingestion + MONAI-pipeline fidelity (CT_pancreas_monai.py:37-48)
+# ---------------------------------------------------------------------------
+
+def _nifti_affine_lsp(spacing=(0.7, 2.5, 0.9)):
+    """Affine whose array axes point (L, S, P) with the given spacings."""
+    aff = np.zeros((4, 4))
+    aff[0, 0] = -spacing[0]   # axis 0 -> -x  (L)
+    aff[2, 1] = spacing[1]    # axis 1 -> +z  (S)
+    aff[1, 2] = -spacing[2]   # axis 2 -> -y  (P)
+    aff[:3, 3] = (10.0, -5.0, 3.0)
+    aff[3, 3] = 1.0
+    return aff
+
+
+def test_nifti_roundtrip(tmp_path):
+    from lintransunet_tpu.data import nifti
+
+    rng = np.random.default_rng(3)
+    vol = rng.normal(50.0, 30.0, (9, 7, 5)).astype(np.float32)
+    aff = _nifti_affine_lsp()
+    for name in ("a.nii", "b.nii.gz"):
+        path = str(tmp_path / name)
+        nifti.write_nifti(path, vol, aff)
+        data, affine = nifti.read_nifti(path)
+        np.testing.assert_allclose(data, vol, rtol=1e-6)
+        np.testing.assert_allclose(affine, aff, rtol=1e-5, atol=1e-5)
+
+    # integer payloads survive, and scl_slope/scl_inter are applied
+    ivol = rng.integers(-500, 1500, (6, 5, 4)).astype(np.int16)
+    path = str(tmp_path / "c.nii")
+    nifti.write_nifti(path, ivol, np.eye(4))
+    raw = bytearray(open(path, "rb").read())
+    import struct
+
+    struct.pack_into("<2f", raw, 112, 2.0, -10.0)  # slope, inter
+    open(path, "wb").write(bytes(raw))
+    data, _ = nifti.read_nifti(path)
+    np.testing.assert_allclose(data, ivol.astype(np.float32) * 2.0 - 10.0)
+
+
+def test_nifti_qform_affine(tmp_path):
+    """qform fallback: identity quaternion -> diag(pixdim) affine."""
+    from lintransunet_tpu.data import nifti
+
+    vol = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    path = str(tmp_path / "q.nii")
+    nifti.write_nifti(path, vol, np.diag([1.5, 2.0, 3.0, 1.0]))
+    raw = bytearray(open(path, "rb").read())
+    import struct
+
+    struct.pack_into("<2h", raw, 252, 1, 0)              # qform on, sform off
+    struct.pack_into("<6f", raw, 256, 0, 0, 0, 4, 5, 6)  # b=c=d=0, offsets
+    open(path, "wb").write(bytes(raw))
+    data, affine = nifti.read_nifti(path)
+    np.testing.assert_allclose(data, vol)
+    expect = np.diag([1.5, 2.0, 3.0, 1.0])
+    expect[:3, 3] = (4, 5, 6)
+    np.testing.assert_allclose(affine, expect, atol=1e-6)
+
+
+def test_affine_to_spacing_axcodes():
+    spacing, codes = T.affine_to_spacing_axcodes(np.eye(4))
+    assert codes == "RAS" and spacing == (1.0, 1.0, 1.0)
+    spacing, codes = T.affine_to_spacing_axcodes(_nifti_affine_lsp())
+    assert codes == "LSP"
+    np.testing.assert_allclose(spacing, (0.7, 2.5, 0.9), rtol=1e-6)
+
+
+def test_cache_pipeline_nifti_matches_scipy_oracle(tmp_path):
+    """Default cached pipeline == scale -> orient-to-RAS -> Spacingd
+    (affine-derived spacing), hand-computed with numpy/scipy."""
+    from scipy import ndimage
+
+    from lintransunet_tpu.data import CachePanDataset, nifti
+
+    root = tmp_path / "nii"
+    os.makedirs(root / "imagesTr")
+    os.makedirs(root / "labelsTr")
+    rng = np.random.default_rng(11)
+    vol = rng.normal(60.0, 80.0, (10, 8, 12)).astype(np.float32)
+    lbl = np.zeros_like(vol, dtype=np.uint8)
+    lbl[3:6, 2:5, 4:9] = 1
+    aff = _nifti_affine_lsp(spacing=(1.0, 4.0, 1.0))
+    nifti.write_nifti(str(root / "imagesTr" / "v.nii.gz"), vol, aff)
+    nifti.write_nifti(str(root / "labelsTr" / "v.nii.gz"), lbl, aff)
+
+    ds = CachePanDataset(root=str(root), depth_size=2, num_samples=1,
+                         image_crop=8, num_workers=1, train=False)
+    img, label = ds._cache[0]
+
+    # oracle: scale intensity, (L,S,P) -> RAS = transpose (0,2,1) + flip 0,1
+    expect = np.clip((vol - (-96.0)) / (215.0 - (-96.0)), 0, 1)
+    span_lo = (-96.0 - 77.99) / 75.4
+    span_hi = (215.0 - 77.99) / 75.4
+    expect = (expect * (span_hi - span_lo) + span_lo).astype(np.float32)
+    expect = np.flip(np.flip(expect.transpose(0, 2, 1), 0), 1)
+    lbl_r = np.flip(np.flip(lbl.transpose(0, 2, 1), 0), 1)
+    # spacing after orient: (1.0, 0.9->? ) original axis spacings (1,4,1) in
+    # (L,S,P) order; RAS order picks (L->R axis:1.0, P->A axis:1.0, S:4.0)
+    zoom = (1.0 / 0.5, 1.0 / 0.5, 4.0 / 2.0)
+    expect = ndimage.zoom(expect, zoom, order=1)
+    lbl_r = ndimage.zoom(lbl_r, zoom, order=0)
+
+    assert img.shape == expect.shape == (20, 24, 16)
+    np.testing.assert_allclose(img, expect, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(label, lbl_r)
+
+
+def test_cache_pipeline_npy_default_orients_and_resamples(data_root):
+    """.npy sources: default SRA axcodes reduce orientation to the historic
+    (D, H, W) -> (H, W, D) transpose, and Spacingd runs by default."""
+    from scipy import ndimage
+
+    from lintransunet_tpu.data import CachePanDataset
+
+    ds = CachePanDataset(root=data_root, depth_size=2, num_samples=1,
+                         ids=[0], image_crop=8, num_workers=1, train=False)
+    img, _ = ds._cache[0]
+    raw = np.load(os.path.join(data_root, "image", "0000.npy"))
+    expect = np.clip((raw - (-96.0)) / (215.0 - (-96.0)), 0, 1)
+    lo = (-96.0 - 77.99) / 75.4
+    hi = (215.0 - 77.99) / 75.4
+    expect = (expect * (hi - lo) + lo).astype(np.float32)
+    expect = expect.transpose(1, 2, 0)          # SRA -> RAS == old transpose
+    expect = ndimage.zoom(expect, (2.0, 2.0, 0.5), order=1)
+    np.testing.assert_allclose(img, expect, rtol=1e-4, atol=1e-5)
+
+    # orient=False, resample=False reproduces the legacy passthrough
+    ds2 = CachePanDataset(root=data_root, depth_size=2, num_samples=1,
+                          ids=[0], image_crop=8, num_workers=1, train=False,
+                          resample=False, orient=False)
+    img2, _ = ds2._cache[0]
+    assert img2.shape == raw.transpose(1, 2, 0).shape
