@@ -31,7 +31,8 @@ def amortised(fn, *args, reps=6):
         @jax.jit
         def looped(*a):
             def body(_, acc):
-                pert = tuple(x + (0 * acc).astype(x.dtype) for x in a)
+                pert = jax.tree.map(
+                    lambda x: x + (0 * acc).astype(x.dtype), a)
                 out = fn(*pert)
                 return jnp.sum(out[0, 0]).astype(jnp.float32)
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))

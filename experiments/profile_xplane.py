@@ -1,0 +1,127 @@
+"""Capture a jax.profiler device trace of the eval-window forward and print
+the top ops by device self-time.
+
+Round-3 tool: the fused transformer-stack kernel wins 1.3-2x isolated but
+the FULL forward runs ~9 ms slower with it routed in — wall-clock A/Bs
+exhausted the cheap hypotheses (token-order transpose, output layout
+barrier, small-stack gating), so this gets per-op attribution from the
+real device trace. Parses the xplane.pb directly with xprof's protobuf
+(no tensorboard UI needed).
+
+Usage: python experiments/profile_xplane.py [--fused 0|1] [--top 40]
+"""
+
+import argparse
+import glob
+import os
+import sys
+import tempfile
+from collections import defaultdict
+
+sys.path.insert(0, "/root/repo")
+
+
+def capture(outdir, fused):
+    os.environ["LINTRANSUNET_FUSED_STACK"] = str(fused)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lintransunet_tpu.engine import make_eval_forward
+    from lintransunet_tpu.models import MaskTransUnet
+
+    print("devices:", jax.devices(), file=sys.stderr)
+    model = MaskTransUnet(
+        num_layers=(16, 32, 64, 128, 256),
+        roi_size_list=(100, 65, 40, 25, 10),
+        is_roi_list=(False, True, True, True, True),
+        dim_input=1, dim_output=2, packed_levels=2, dtype=jnp.bfloat16)
+    roi = (512, 512, 64)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1,) + roi + (1,)), jnp.bfloat16)
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), x, train=False))()["params"]
+    fwd = jax.jit(make_eval_forward(model))
+
+    def run():
+        return float(jnp.sum(fwd(params, x)[0, 0, 0, 0]))
+
+    run()  # compile
+    run()
+    with jax.profiler.trace(outdir):
+        for _ in range(3):
+            run()
+
+
+def report(outdir, top):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(outdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert paths, f"no xplane.pb under {outdir}"
+    agg = defaultdict(float)
+    counts = defaultdict(int)
+    cats = defaultdict(float)
+    total = 0.0
+    for path in paths:
+        xs = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xs.ParseFromString(f.read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name and "tpu" not in plane.name:
+                continue
+            ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                if "XLA Ops" not in line.name and "Ops" != line.name:
+                    continue
+                print(f"[plane '{plane.name}' line '{line.name}': "
+                      f"{len(line.events)} events]", file=sys.stderr)
+                for ev in line.events:
+                    name = ev_meta.get(ev.metadata_id, "?")
+                    # async copy windows span unrelated compute; their
+                    # duration is not cost — bucket them separately
+                    if name.startswith(("%copy-start", "%copy-done")):
+                        cats["async-copy(window)"] += ev.duration_ps / 1e9
+                        continue
+                    dur = ev.duration_ps / 1e9  # ms
+                    agg[name] += dur
+                    counts[name] += 1
+                    total += dur
+                    if name.startswith("%copy"):
+                        cats["copy"] += dur
+                    elif "transformer_stack" in name:
+                        cats["fused-kernel"] += dur
+                    elif "custom-call" in name:
+                        cats["custom-call-other"] += dur
+                    elif name.startswith(("%fusion", "%convert_reduce",
+                                          "%compare_select", "%loop_")):
+                        cats["fusion"] += dur
+                    else:
+                        cats["other"] += dur
+    print(f"planes parsed from {len(paths)} file(s); "
+          f"total sync device op time {total:.2f} ms (3 runs, "
+          f"{total / 3:.2f}/run)")
+    for k, v in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:24s} {v / 3:8.2f} ms/run")
+    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{dur / 3:9.3f} ms/run  x{counts[name] // 3:<4d} {name[:110]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fused", type=int, default=1)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--dir", default=None,
+                    help="parse an existing trace dir instead of capturing")
+    args = ap.parse_args()
+    outdir = args.dir
+    if outdir is None:
+        outdir = tempfile.mkdtemp(prefix=f"xp_fused{args.fused}_")
+        capture(outdir, args.fused)
+        print(f"trace dir: {outdir}", file=sys.stderr)
+    report(outdir, args.top)
+
+
+if __name__ == "__main__":
+    main()

@@ -178,26 +178,63 @@ def _from_tokens_dhw(t: Array, hwd: Tuple[int, int, int]) -> Array:
     return t.reshape(n, d, h, w, c).transpose(0, 2, 3, 1, 4)
 
 
-def _fused_layer_stack(module, tokens: Array, hwd, peg_factory, train: bool,
+def _fused_layer_stack(module, x: Array, peg_name: str,
                        n_layers: int, nhead: int) -> Array:
-    """Eval fast path: run the layer stack through the fused Pallas kernel
-    (ops/pallas_layer.py), splitting at the PEG re-injection after layer 0.
+    """Eval fast path: (N, H, W, D, C) grid through L fused transformer
+    layers via the Pallas stack kernel (ops/pallas_layer.py), splitting at
+    the PEG re-injection after layer 0. Returns the processed 5D grid.
 
-    Reads the SelfAttentionLayer params created by the unfused loop (which
-    always runs at init) via ``module.variables`` — same names, same
-    checkpoint format; only the execution schedule differs.
+    Tokens are taken in the array's NATURAL (H, W, D) order — a pure
+    reshape. Linear attention is permutation-invariant over tokens
+    (softmax over the token axis + unweighted sums, trans_block.py:41-67),
+    so this preserves reference semantics while avoiding the (D, H, W)
+    transpose the unfused path performs: a Pallas custom call pins its
+    operand/result layouts, so that transpose MATERIALISES at the kernel
+    boundary instead of fusing into the projection matmuls, and was
+    measured to cost more than the fused kernels save (~13 ms/window on
+    v5e). The PEG — whose 3^3 depthwise kernel axes ARE order-sensitive —
+    runs directly on the (H, W, D) grid with its kernel permuted to match
+    the reference's (D, H, W) application (Unet_3Dblock.py:265-270).
+
+    Reads the params created by the unfused loop (which always runs at
+    init) via ``module.variables`` — same names, same checkpoint format;
+    only the execution schedule differs.
     """
     from lintransunet_tpu.ops import pallas_layer as pll
 
+    n, h, w, d, c = x.shape
     p = module.variables["params"]
+    # Layout guards at every grid<->token transition: the Pallas custom
+    # call pins its operand/result to the default token layout, and without
+    # barriers XLA back-propagates that into the NEIGHBOURING conv/IN
+    # fusions, which then run with degenerate T(1,128)/T(2,128) tilings
+    # (xplane-traced: ~8 ms of extra fusion time per eval window). The
+    # barrier pins each side to its natural layout; the relayout becomes
+    # one explicit well-tiled copy.
+    tokens = jax.lax.optimization_barrier(x).reshape(n, h * w * d, c)
     a0, w20, v0 = pll.stack_layer_params([p["layers_0"]])
     tokens = pll.fused_transformer_stack(tokens, a0, w20, v0, nhead)
-    tokens = _peg_on_tokens(tokens, hwd, peg_factory(), train)
+
+    grid = jax.lax.optimization_barrier(tokens.reshape(n, h, w, d, c))
+    peg = p[peg_name]["proj"]
+    kern = jnp.transpose(peg["kernel"], (1, 2, 0, 3, 4))  # (kd,kh,kw)->(kh,kw,kd)
+    dt = x.dtype
+    pos = jax.lax.conv_general_dilated(
+        grid.astype(dt), kern.astype(dt), (1, 1, 1),
+        [(1, 1), (1, 1), (1, 1)],
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        feature_group_count=c) + peg["bias"].astype(dt)
+    grid = grid + pos  # residual add; Dropout3d is a no-op at eval
+    tokens = jax.lax.optimization_barrier(grid).reshape(n, h * w * d, c)
+
     if n_layers > 1:
         a1, w21, v1 = pll.stack_layer_params(
             [p[f"layers_{i}"] for i in range(1, n_layers)])
         tokens = pll.fused_transformer_stack(tokens, a1, w21, v1, nhead)
-    return tokens
+    # Layout guard (same pattern as _peg_on_tokens): the custom call pins
+    # its result to the default token layout; without a barrier after the
+    # reshape, that layout propagates into the downstream decoder convs.
+    return jax.lax.optimization_barrier(tokens.reshape(n, h, w, d, c))
 
 
 def _peg_on_tokens(tokens: Array, hwd: Tuple[int, int, int], peg,
@@ -244,6 +281,11 @@ class PosAttention3DBlock(nn.Module):
                  train: bool = False) -> Array:
         from lintransunet_tpu.ops.pallas_layer import fused_stack_supported
 
+        n_tok = x.shape[1] * x.shape[2] * x.shape[3]
+        if (not train and mask is None and not self.is_initializing()
+                and fused_stack_supported(self.d_model, self.nhead, n_tok)):
+            return _fused_layer_stack(self, x, "pos_encoders_0",
+                                      self.n_layers, self.nhead)
         tokens, hwd = _to_tokens_dhw(x)
         if mask is not None:
             mask, _ = _to_tokens_dhw(mask)
@@ -251,18 +293,13 @@ class PosAttention3DBlock(nn.Module):
         peg_f = lambda: ConvPosEmbed3d(self.d_model, self.dropout,
                                        dtype=self.dtype,
                                        name="pos_encoders_0")
-        if (not train and mask is None and not self.is_initializing()
-                and fused_stack_supported(self.d_model, self.nhead)):
-            tokens = _fused_layer_stack(self, tokens, hwd, peg_f, train,
-                                        self.n_layers, self.nhead)
-        else:
-            for i in range(self.n_layers):
-                tokens = SelfAttentionLayer(
-                    self.d_model, self.nhead, 2 * self.d_model, self.dropout,
-                    dtype=self.dtype, name=f"layers_{i}")(tokens, mask,
-                                                          train=train)
-                if i == 0:
-                    tokens = _peg_on_tokens(tokens, hwd, peg_f(), train)
+        for i in range(self.n_layers):
+            tokens = SelfAttentionLayer(
+                self.d_model, self.nhead, 2 * self.d_model, self.dropout,
+                dtype=self.dtype, name=f"layers_{i}")(tokens, mask,
+                                                      train=train)
+            if i == 0:
+                tokens = _peg_on_tokens(tokens, hwd, peg_f(), train)
         return _from_tokens_dhw(tokens, hwd)
 
 
@@ -436,21 +473,23 @@ class EmbedAttention3DBlock(nn.Module):
         x = DownEmbedBlock(self.in_dim, self.d_model, down_times=1,
                            dropout=self.dropout, dtype=self.dtype,
                            name="down_embed")(x, train=train)
-        tokens, hwd = _to_tokens_dhw(x)
-        peg_f = lambda: ConvPosEmbed3d(self.d_model, self.dropout,
-                                       dtype=self.dtype, name="pos_encoder")
+        n_tok = x.shape[1] * x.shape[2] * x.shape[3]
         if (not train and not self.is_initializing()
-                and fused_stack_supported(self.d_model, self.nhead)):
-            tokens = _fused_layer_stack(self, tokens, hwd, peg_f, train,
-                                        self.n_layers, self.nhead)
+                and fused_stack_supported(self.d_model, self.nhead, n_tok)):
+            x = _fused_layer_stack(self, x, "pos_encoder",
+                                   self.n_layers, self.nhead)
         else:
+            tokens, hwd = _to_tokens_dhw(x)
+            peg_f = lambda: ConvPosEmbed3d(self.d_model, self.dropout,
+                                           dtype=self.dtype,
+                                           name="pos_encoder")
             for i in range(self.n_layers):
                 tokens = SelfAttentionLayer(
                     self.d_model, self.nhead, 2 * self.d_model, self.dropout,
                     dtype=self.dtype, name=f"layers_{i}")(tokens, train=train)
                 if i == 0:
                     tokens = _peg_on_tokens(tokens, hwd, peg_f(), train)
-        x = _from_tokens_dhw(tokens, hwd)
+            x = _from_tokens_dhw(tokens, hwd)
         return UpEmbedBlock(self.in_dim, self.d_model, down_times=1,
                             dropout=self.dropout, dtype=self.dtype,
                             name="up_embed")(x, train=train)

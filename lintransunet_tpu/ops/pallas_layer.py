@@ -30,6 +30,7 @@ the autodiff path in ops/pallas_attention.py.
 
 import functools
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -74,17 +75,37 @@ def stack_layer_params(layer_params):
     return jnp.stack(As), jnp.stack(w2s), jnp.stack(vecs)
 
 
-def fused_stack_supported(d_model: int, n_heads: int) -> bool:
+def fused_stack_supported(d_model: int, n_heads: int,
+                          n_tokens: Optional[int] = None) -> bool:
     """Route a SelfAttentionLayer stack through the fused kernel?
 
-    Requires a TPU backend, a lane-aligned model dim and even head split.
-    ``LINTRANSUNET_FUSED_STACK=0`` disables (read per call: this guards a
-    trace-time routing decision, so it only matters before compilation)."""
+    DEFAULT OFF (``LINTRANSUNET_FUSED_STACK=1`` opts in). The kernel
+    itself beats the XLA layer chain 1.3-2x in isolation (v5e, N>=10k),
+    but embedded in the full MaskTransUnet eval forward the program runs
+    ~9 ms/window SLOWER with it routed in: xplane traces show XLA
+    re-laying out the neighbouring conv/instance-norm fusions with
+    degenerate T(1,128)/T(2,128) tilings around the custom calls, and the
+    regression survives token-reordering, small-stack gating and
+    optimization_barrier fences at every boundary (docs/DESIGN.md §10).
+    Until that integration cost is beaten, the honest default is the XLA
+    chain — a routed kernel must win end-to-end, not in isolation.
+
+    When enabled: requires a TPU backend, a lane-aligned model dim and an
+    even head split. Short stacks stay on the XLA chain regardless: below
+    a few thousand tokens the kernel's fixed costs (grid setup, per-layer
+    weight re-fetch) outweigh the HBM-round-trip savings (measured 0.82x
+    at N=1024 vs 1.8x at N=28704). ``LINTRANSUNET_FUSED_MIN_TOKENS``
+    overrides that threshold. Both env vars are read per call: they guard
+    a trace-time routing decision, so they only matter before
+    compilation."""
     import os
 
     from lintransunet_tpu.ops.pallas_attention import pallas_supported
 
-    if os.environ.get("LINTRANSUNET_FUSED_STACK", "1") in ("0", "false"):
+    if os.environ.get("LINTRANSUNET_FUSED_STACK", "0") in ("0", "false"):
+        return False
+    min_tokens = int(os.environ.get("LINTRANSUNET_FUSED_MIN_TOKENS", "4096"))
+    if n_tokens is not None and n_tokens < min_tokens:
         return False
     return (pallas_supported() and d_model % LANE == 0
             and d_model % n_heads == 0)
@@ -108,7 +129,10 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + erf)
 
 
-def _make_kernel(n_real, tile_n, c, n_heads, ln_eps=1e-6):
+def _make_kernel(n_real, tile_n, c, n_heads, cdt, ln_eps=1e-6):
+    """``cdt`` is the matmul operand dtype (== the token dtype): MXU inputs
+    ride in it, accumulation stays f32 via preferred_element_type — the
+    same contract as the flax chain's dtype-cast dot_generals."""
     d_k = c // n_heads
     inv_sqrt_dk = 1.0 / math.sqrt(d_k)
 
@@ -140,14 +164,15 @@ def _make_kernel(n_real, tile_n, c, n_heads, ln_eps=1e-6):
             s_scr[:, :] = jnp.zeros_like(s_scr)
             ctx_scr[:, :] = jnp.zeros_like(ctx_scr)
 
-        x = x_scr[pl.ds(t * tile_n, tile_n), :].astype(jnp.float32)
+        x_bf = x_scr[pl.ds(t * tile_n, tile_n), :]    # cdt MXU operand
+        x = x_bf.astype(jnp.float32)                  # residuals/LN in f32
         A = a_ref[0]
         vec = vec_ref[0]
 
         @pl.when(p == 0)
         def _():
-            k = _dot(x, A[:, c:2 * c], ((1,), (0,))) + vec[1:2, :c]
-            v = _dot(x, A[:, 2 * c:3 * c], ((1,), (0,))) + vec[2:3, :c]
+            k = _dot(x_bf, A[:, c:2 * c], ((1,), (0,))) + vec[1:2, :c]
+            v = _dot(x_bf, A[:, 2 * c:3 * c], ((1,), (0,))) + vec[2:3, :c]
             k = jnp.where(valid, k, NEG)
             tile_max = jnp.max(k, axis=0, keepdims=True)         # (1, C)
             m_old = m_scr[0:1, :]
@@ -160,12 +185,12 @@ def _make_kernel(n_real, tile_n, c, n_heads, ln_eps=1e-6):
             # ctx rows are k-features: rescale rows via diag-matmul
             diag = eye * rescale                                  # (C, C)
             ctx_scr[:, :] = _dot(diag, ctx_scr[:, :], ((1,), (0,))) + _dot(
-                e, v, ((0,), (0,)))
+                e.astype(cdt), v.astype(cdt), ((0,), (0,)))
             m_scr[0:1, :] = m_new
 
         @pl.when(p == 1)
         def _():
-            q = _dot(x, A[:, :c], ((1,), (0,))) + vec[0:1, :c]
+            q = _dot(x_bf, A[:, :c], ((1,), (0,))) + vec[0:1, :c]
             # exact per-head feature-axis softmax: static masked-max loop
             m_seg = jnp.zeros_like(q)
             for h in range(n_heads):
@@ -180,9 +205,10 @@ def _make_kernel(n_real, tile_n, c, n_heads, ln_eps=1e-6):
 
             inv_s = 1.0 / s_scr[0:1, :]
             ctxn = _dot(eye * inv_s, ctx_scr[:, :], ((1,), (0,))) * head_mask
-            attn = _dot(q_soft, ctxn, ((1,), (0,)))               # (tile, C)
-            o = _dot(attn, A[:, 3 * c:4 * c], ((1,), (0,))) + \
-                vec[3:4, :c]
+            attn = _dot(q_soft.astype(cdt),
+                        ctxn.astype(cdt), ((1,), (0,)))           # (tile, C)
+            o = _dot(attn.astype(cdt), A[:, 3 * c:4 * c],
+                     ((1,), (0,))) + vec[3:4, :c]
 
             x1 = x + o
             mu = jnp.mean(x1, axis=1, keepdims=True)
@@ -190,9 +216,11 @@ def _make_kernel(n_real, tile_n, c, n_heads, ln_eps=1e-6):
             x1 = (x1 - mu) * jax.lax.rsqrt(var + ln_eps)
             x1 = x1 * vec[6:7, :c] + vec[7:8, :c]
 
-            h1 = _dot(x1, A[:, 4 * c:6 * c], ((1,), (0,))) + vec[4:5, :]
+            h1 = _dot(x1.astype(cdt), A[:, 4 * c:6 * c],
+                      ((1,), (0,))) + vec[4:5, :]
             h1 = _gelu_exact(h1)
-            h2 = _dot(h1, w2_ref[0], ((1,), (0,))) + vec[5:6, :c]
+            h2 = _dot(h1.astype(cdt), w2_ref[0],
+                      ((1,), (0,))) + vec[5:6, :c]
 
             x2 = x1 + h2
             mu2 = jnp.mean(x2, axis=1, keepdims=True)
@@ -231,12 +259,30 @@ def fused_transformer_stack(x, A, w2, vecs, n_heads: int,
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
     n_tiles = n_pad // tile_n
 
-    kernel = _make_kernel(n, tile_n, c, n_heads)
+    # Matmul weights ride in the token dtype (the flax chain casts params
+    # to the module dtype the same way). For bf16 models this also halves
+    # the weight-stack VMEM (the f32 stacks pushed C=256 shapes past the
+    # 16 MB scoped limit) and quadruples the MXU rate.
+    A = A.astype(x.dtype)
+    w2 = w2.astype(x.dtype)
+
+    kernel = _make_kernel(n, tile_n, c, n_heads, x.dtype)
+
+    # x is only READ at (l=0, p=0) and o only WRITTEN at the last (l, p):
+    # park the block index at 0 during every other revisit so Pallas
+    # doesn't stream the whole token buffer 2L times (fetches happen on
+    # index CHANGE; a parked index never changes).
+    def x_index(bb, l, p, t):
+        return (bb, jnp.where((l == 0) & (p == 0), t, 0), 0)
+
+    def o_index(bb, l, p, t):
+        return (bb, jnp.where((l == n_layers - 1) & (p == 1), t, 0), 0)
+
     out = pl.pallas_call(
         kernel,
         grid=(b, n_layers, 2, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, tile_n, c), lambda bb, l, p, t: (bb, t, 0),
+            pl.BlockSpec((1, tile_n, c), x_index,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, 6 * c), lambda bb, l, p, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -245,7 +291,7 @@ def fused_transformer_stack(x, A, w2, vecs, n_heads: int,
             pl.BlockSpec((1, 16, 2 * c), lambda bb, l, p, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_n, c), lambda bb, l, p, t: (bb, t, 0),
+        out_specs=pl.BlockSpec((1, tile_n, c), o_index,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c), x.dtype),
         scratch_shapes=[

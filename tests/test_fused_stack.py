@@ -64,7 +64,7 @@ def test_fused_routing_preserves_param_names(monkeypatch):
 
     # route through the kernel in interpret mode on CPU
     monkeypatch.setattr(
-        pll, "fused_stack_supported", lambda d, h: True)
+        pll, "fused_stack_supported", lambda d, h, n=None: True)
     orig = pll.fused_transformer_stack
     monkeypatch.setattr(
         pll, "fused_transformer_stack",
@@ -79,7 +79,8 @@ def test_fused_routing_preserves_param_names(monkeypatch):
     params = blk.init(jax.random.PRNGKey(0), x, train=False)
     fused_out = blk.apply(params, x, train=False)
 
-    monkeypatch.setattr(pll, "fused_stack_supported", lambda d, h: False)
+    monkeypatch.setattr(pll, "fused_stack_supported",
+                        lambda d, h, n=None: False)
     plain_out = blk.apply(params, x, train=False)
     np.testing.assert_allclose(np.asarray(fused_out), np.asarray(plain_out),
                                atol=2e-5, rtol=2e-5)
