@@ -293,3 +293,189 @@ def packed_upsample_x2(x: jnp.ndarray, z2: bool = False) -> jnp.ndarray:
         out = jax.lax.dot_general(wd, out, (((1,), (3,)), ((), ())))
         out = jnp.moveaxis(out, 0, 3)
     return out
+
+
+# --------------------------------------------------------------------------
+# FOLDED layout: depth carried in the batch dimension.
+#
+# The depth-folded conv above pays a fold (transpose) + unfold per CALL;
+# xplane traces of the eval window show XLA shuttling the (64,128,128,C)
+# intermediates between three layouts per tap — ~29 ms/window of pure
+# layout copies, dominated by these folds (docs/DESIGN.md §10). The ops
+# below keep whole decoder levels IN the folded representation
+# (N*D, H/2, W/2, 4C), row index = volume*D + depth, so the fold happens
+# once per region instead of once per conv. Every op here is
+# transpose-free: depth handling uses leading-dim reshapes (n*d <-> (n, d))
+# which never move data.
+# --------------------------------------------------------------------------
+
+def fold_depth(x_packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed (N, H2, W2, D, 4C) -> folded (N*D, H2, W2, 4C).
+
+    The one real transpose of the folded regime — call it once per level
+    (or region), not per conv."""
+    n, h2, w2, d, c4 = x_packed.shape
+    return x_packed.transpose(0, 3, 1, 2, 4).reshape(n * d, h2, w2, c4)
+
+
+def unfold_depth(xf: jnp.ndarray, n_volumes: int) -> jnp.ndarray:
+    """Folded (N*D, H2, W2, 4C) -> packed (N, H2, W2, D, 4C). Inverse of
+    fold_depth (the closing transpose of a folded region)."""
+    nd, h2, w2, c4 = xf.shape
+    d = nd // n_volumes
+    x = xf.reshape(n_volumes, d, h2, w2, c4)
+    return x.transpose(0, 2, 3, 1, 4)
+
+
+def packed_conv3d_stride1_folded(xf: jnp.ndarray, packed_kernel, bias=None,
+                                 n_volumes: int = 1,
+                                 formulation: str = "3d") -> jnp.ndarray:
+    """packed_conv3d_stride1 on the FOLDED layout (transpose-free).
+
+    xf: (N*D, H2, W2, 4C); packed_kernel: (3, 3, 3, 4C, 4O) from
+    pack_kernel_stride1_jnp. Bit-identical function to
+    packed_conv3d_stride1 on the unfolded view. Two formulations:
+
+    * "3d": the folded buffer IS (N, D, H2, W2, 4C) up to a free
+      leading-dim reshape, so the whole conv is ONE conv_general_dilated
+      with depth as the leading spatial dim — no pads, slices or
+      transposes outside the conv op itself.
+    * "taps": three depth-shifted 2D convs (the formulation that beats
+      conv3d 1.6x on the unfolded path); depth shifts are leading-dim row
+      slices of the per-volume zero-padded buffer.
+    """
+    assert packed_kernel.shape[2] == 3, "folded path expects kd == 3"
+    packed_kernel = packed_kernel.astype(xf.dtype)
+    nd, h2, w2, c4 = xf.shape
+    d = nd // n_volumes
+    o4 = packed_kernel.shape[-1]
+    if formulation == "3d":
+        x5 = xf.reshape(n_volumes, d, h2, w2, c4)
+        kd_first = packed_kernel.transpose(2, 0, 1, 3, 4)  # (kd, kh, kw, I, O)
+        y = jax.lax.conv_general_dilated(
+            x5, kd_first, (1, 1, 1), [(1, 1), (1, 1), (1, 1)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        out = y.reshape(nd, h2, w2, o4)
+    else:
+        x5 = xf.reshape(n_volumes, d, h2, w2, c4)
+        pad = jnp.pad(x5, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        out = None
+        for dp in range(3):
+            xs = pad[:, dp:dp + d].reshape(nd, h2, w2, c4)
+            y = jax.lax.conv_general_dilated(
+                xs, packed_kernel[:, :, dp], (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = y if out is None else out + y
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def packed_conv3d_stride2_folded(xf: jnp.ndarray, packed_kernel, bias=None,
+                                 n_volumes: int = 1, z_stride: int = 1,
+                                 kd_pad: int = 1) -> jnp.ndarray:
+    """packed_conv3d_stride2 on the FOLDED layout.
+
+    xf: folded packed (N*D, H2, W2, 4C); packed_kernel: (2, 2, kd, 4C, O)
+    from pack_kernel_stride2_jnp. Returns folded UNPACKED
+    (N*D', H2, W2, O), D' = out-depth of the strided conv — the downsample
+    output lives on the same packed grid (see packed_conv3d_stride2).
+    One NDHWC conv: depth stride rides the leading spatial dim; the
+    asymmetric (1, 0) H/W padding is passed to the conv directly.
+    """
+    packed_kernel = packed_kernel.astype(xf.dtype)
+    nd, h2, w2, c4 = xf.shape
+    d = nd // n_volumes
+    o = packed_kernel.shape[-1]
+    x5 = xf.reshape(n_volumes, d, h2, w2, c4)
+    kd_first = packed_kernel.transpose(2, 0, 1, 3, 4)  # (kd, 2, 2, I, O)
+    y = jax.lax.conv_general_dilated(
+        x5, kd_first, (z_stride, 1, 1),
+        [(kd_pad, kd_pad), (1, 0), (1, 0)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    out = y.reshape(n_volumes * y.shape[1], h2, w2, o)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def packed_conv1x1_folded(xf: jnp.ndarray, packed_kernel,
+                          bias=None) -> jnp.ndarray:
+    """Pointwise conv on the folded layout (packed 1x1 kernels from
+    pack_kernel_1x1_jnp, block-diagonal over sub-positions)."""
+    packed_kernel = packed_kernel.astype(xf.dtype)
+    out = jax.lax.conv_general_dilated(
+        xf, packed_kernel[:, :, 0], (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def group_instance_norm_folded(xf: jnp.ndarray, channels: int,
+                               n_volumes: int = 1,
+                               eps: float = 1e-5) -> jnp.ndarray:
+    """group_instance_norm_packed on the folded layout.
+
+    Stats per (volume, original channel) over (depth-rows x spatial x 4
+    sub-positions) — identical statistics to the unfolded op."""
+    nd, h, w, c4 = xf.shape
+    assert c4 == 4 * channels
+    d = nd // n_volumes
+    x32 = xf.astype(jnp.float32).reshape(n_volumes, d, h, w, channels, 4)
+    mean = jnp.mean(x32, axis=(1, 2, 3, 5), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3, 5), keepdims=True)
+    out = (x32 - mean) * (1.0 / jnp.sqrt(var + eps))
+    return out.reshape(nd, h, w, c4).astype(xf.dtype)
+
+
+def unpack_folded(xf: jnp.ndarray) -> jnp.ndarray:
+    """Folded packed (ND, H2, W2, 4C) -> folded UNPACKED (ND, H, W, C).
+
+    Per-row windows_unembedding (channel c*4 + a*2 + b -> spatial offset
+    (a, b)); depth never moves."""
+    nd, h2, w2, c4 = xf.shape
+    c = c4 // 4
+    x = xf.reshape(nd, h2, w2, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(nd, h2 * 2, w2 * 2, c)
+
+
+def pack_folded(xf: jnp.ndarray) -> jnp.ndarray:
+    """Folded unpacked (ND, H, W, C) -> folded packed (ND, H/2, W/2, 4C)."""
+    nd, h, w, c = xf.shape
+    x = xf.reshape(nd, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(nd, h // 2, w // 2, 4 * c)
+
+
+def packed_upsample_x2_folded(xf: jnp.ndarray, n_volumes: int = 1,
+                              z2: bool = False) -> jnp.ndarray:
+    """packed_upsample_x2 on the folded layout.
+
+    xf: folded UNPACKED (N*D, H, W, C) -> folded packed (N*D*, H, W, 4C)
+    representing the (2H, 2W, D*) trilinear align-corners upsample,
+    D* = 2D if z2. H/W are per-row contractions; the depth doubling is a
+    matrix contraction over the (reshaped) leading depth dim.
+    """
+    from lintransunet_tpu.ops.resample import _linear_resize_matrix
+
+    nd, h, w, c = xf.shape
+    dt = xf.dtype
+    wh = jnp.asarray(_linear_resize_matrix(h, 2 * h).reshape(h, 2, h), dt)
+    ww = jnp.asarray(_linear_resize_matrix(w, 2 * w).reshape(w, 2, w), dt)
+
+    # contract H: (nd, h, w, c) x (ho, a, h) -> (nd, w, c, ho, a)
+    t = jax.lax.dot_general(xf, wh, (((1,), (2,)), ((), ())))
+    # contract W: (nd, w, c, ho, a) x (wo, b, w) -> (nd, c, ho, a, wo, b)
+    t = jax.lax.dot_general(t, ww, (((1,), (2,)), ((), ())))
+    t = t.transpose(0, 2, 4, 1, 3, 5)  # (nd, ho, wo, c, a, b)
+    out = t.reshape(nd, h, w, 4 * c)
+    if z2:
+        d = nd // n_volumes
+        wd = jnp.asarray(_linear_resize_matrix(d, 2 * d), dt)
+        x5 = out.reshape(n_volumes, d, h * w * 4 * c)
+        y = jax.lax.dot_general(wd, x5, (((1,), (1,)), ((), ())))
+        # (2d, n, m) -> (n, 2d, m): leading-pair swap, then re-merge rows
+        out = y.transpose(1, 0, 2).reshape(n_volumes * 2 * d, h, w, 4 * c)
+    return out

@@ -137,3 +137,92 @@ def test_packed_eval_branch_matches_unpacked(rng):
     got = fast.apply(variables, x, train=False)
     np.testing.assert_array_equal(np.asarray(got),
                                   np.asarray(one_hot_argmax(probs)))
+
+
+# ----------------------------------------------------------------- folded ops
+
+def test_fold_unfold_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 6, 5, 4, 8)).astype(np.float32))
+    xf = pc.fold_depth(x)
+    assert xf.shape == (8, 6, 5, 8)
+    np.testing.assert_array_equal(np.asarray(pc.unfold_depth(xf, 2)),
+                                  np.asarray(x))
+
+
+def test_folded_stride1_conv_matches_packed(rng):
+    n, h2, w2, d, c, o = 2, 6, 5, 4, 3, 5
+    xp = jnp.asarray(rng.standard_normal((n, h2, w2, d, 4 * c)).astype(np.float32))
+    k = rng.standard_normal((3, 3, 3, c, o)).astype(np.float32)
+    kp = jnp.asarray(pc.pack_kernel_stride1(k))
+    bp = jnp.asarray(pc.pack_bias_stride1(
+        rng.standard_normal((o,)).astype(np.float32)))
+
+    ref = pc.packed_conv3d_stride1(xp, kp, bp)
+    xf = pc.fold_depth(xp)
+    for formulation in ("3d", "taps"):
+        got = pc.packed_conv3d_stride1_folded(xf, kp, bp, n_volumes=n,
+                                              formulation=formulation)
+        np.testing.assert_allclose(np.asarray(pc.unfold_depth(got, n)),
+                                   np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_folded_stride2_conv_matches_packed(rng):
+    n, h2, w2, d, c, o = 2, 6, 5, 4, 3, 5
+    xp = jnp.asarray(rng.standard_normal((n, h2, w2, d, 4 * c)).astype(np.float32))
+    k = rng.standard_normal((3, 3, 3, c, o)).astype(np.float32)
+    kp = jnp.asarray(pc.pack_kernel_stride2(k))
+    b = jnp.asarray(rng.standard_normal((o,)).astype(np.float32))
+
+    for z in (1, 2):
+        ref = pc.packed_conv3d_stride2(xp, kp, b, z_stride=z)
+        got = pc.packed_conv3d_stride2_folded(pc.fold_depth(xp), kp, b,
+                                              n_volumes=n, z_stride=z)
+        np.testing.assert_allclose(np.asarray(pc.unfold_depth(got, n)),
+                                   np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_folded_conv1x1_matches_packed(rng):
+    n, h2, w2, d, c, o = 2, 6, 5, 4, 3, 5
+    xp = jnp.asarray(rng.standard_normal((n, h2, w2, d, 4 * c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 1, 1, c, o)).astype(np.float32))
+    b = rng.standard_normal((o,)).astype(np.float32)
+    kp = pc.pack_kernel_1x1_jnp(k)
+    bp = pc.pack_bias_jnp(jnp.asarray(b))
+
+    ref = ops.conv3d(xp, kp, bp, stride=1, padding=0)
+    got = pc.packed_conv1x1_folded(pc.fold_depth(xp), kp, bp)
+    np.testing.assert_allclose(np.asarray(pc.unfold_depth(got, n)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_folded_instance_norm_matches_packed(rng):
+    xp = jnp.asarray(rng.standard_normal((2, 6, 5, 4, 12)).astype(np.float32))
+    ref = pc.group_instance_norm_packed(xp, channels=3)
+    got = pc.group_instance_norm_folded(pc.fold_depth(xp), channels=3,
+                                        n_volumes=2)
+    np.testing.assert_allclose(np.asarray(pc.unfold_depth(got, 2)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_folded_pack_unpack_matches_windows(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 6, 4, 3)).astype(np.float32))
+    xp = ops.windows_embedding(x, 2)
+    # pack_folded on the folded unpacked view == fold(windows_embedding(x))
+    xfu = x.transpose(0, 3, 1, 2, 4).reshape(8, 8, 6, 3)
+    got_p = pc.pack_folded(xfu)
+    np.testing.assert_allclose(np.asarray(pc.unfold_depth(got_p, 2)),
+                               np.asarray(xp), rtol=1e-6, atol=1e-6)
+    # unpack_folded inverts it
+    np.testing.assert_array_equal(np.asarray(pc.unpack_folded(got_p)),
+                                  np.asarray(xfu))
+
+
+def test_folded_upsample_matches_packed(rng):
+    n, h, w, d, c = 2, 6, 5, 4, 3
+    x = jnp.asarray(rng.standard_normal((n, h, w, d, c)).astype(np.float32))
+    for z2 in (False, True):
+        ref = pc.packed_upsample_x2(x, z2=z2)
+        xf = x.transpose(0, 3, 1, 2, 4).reshape(n * d, h, w, c)
+        got = pc.packed_upsample_x2_folded(xf, n_volumes=n, z2=z2)
+        np.testing.assert_allclose(np.asarray(pc.unfold_depth(got, n)),
+                                   np.asarray(ref), rtol=1e-5, atol=1e-5)
