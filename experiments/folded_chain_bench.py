@@ -74,6 +74,14 @@ def chain_folded(xf, kp, bp, formulation):
     return xf
 
 
+def chain_sheared(xf, ks, bp):
+    c = ks.shape[-1] // 4
+    for _ in range(N_CONVS):
+        y = pc.packed_conv3d_stride1_sheared_folded(xf, ks, bp, n_volumes=1)
+        xf = ops.leaky_relu(pc.group_instance_norm_folded(y, c, n_volumes=1))
+    return xf
+
+
 def main():
     print("devices:", jax.devices(), file=sys.stderr)
     rng = np.random.default_rng(0)
@@ -82,6 +90,8 @@ def main():
                         jnp.bfloat16)
         k = rng.standard_normal((3, 3, 3, c, c)).astype(np.float32) * 0.05
         kp = jnp.asarray(pc.pack_kernel_stride1(k), jnp.bfloat16)
+        ks = jnp.asarray(pc.pack_kernel_stride1_sheared_jnp(
+            jnp.asarray(k)), jnp.bfloat16)
         bp = jnp.zeros((4 * c,), jnp.bfloat16)
         xf = pc.fold_depth(x)
         orig_g = h2 * w2 * d * 4 * 27 * c * c * 2 * N_CONVS / 1e12
@@ -101,6 +111,11 @@ def main():
                 xf, kp, bp),
              lambda: pc.unfold_depth(jax.jit(
                  lambda xf_: chain_folded(xf_, kp, bp, "3d"))(xf),
+                 1).astype(jnp.float32)),
+            ("D folded sheared", lambda: marginal(
+                chain_sheared, xf, ks, bp),
+             lambda: pc.unfold_depth(jax.jit(
+                 lambda xf_: chain_sheared(xf_, ks, bp))(xf),
                  1).astype(jnp.float32)),
         ]
         print(f"\n== {name}  ({N_CONVS}-conv chain, orig "

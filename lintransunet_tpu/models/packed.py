@@ -39,7 +39,10 @@ class PackedConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, xp: Array) -> Array:
+    def __call__(self, xp: Array, n_volumes: Optional[int] = None) -> Array:
+        """``n_volumes=None``: packed 5D layout (N, H2, W2, D, 4C).
+        ``n_volumes=n``: FOLDED layout (n*D, H2, W2, 4C) — same params, the
+        transpose-free ops from ops/packed_conv.py."""
         k = 1 if self.mode == "1x1" else self.kernel_size
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
@@ -47,18 +50,37 @@ class PackedConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         if self.mode == "s1":
-            kp = pc.pack_kernel_stride1_jnp(kernel)
             bp = pc.pack_bias_jnp(bias)
+            if n_volumes is not None:
+                f = pc.resolve_s1_formulation(4 * self.in_features)
+                if f == "sheared":
+                    ks = pc.pack_kernel_stride1_sheared_jnp(kernel)
+                    return pc.packed_conv3d_stride1_sheared_folded(
+                        xp, ks.astype(xp.dtype), bp.astype(xp.dtype),
+                        n_volumes=n_volumes)
+                kp = pc.pack_kernel_stride1_jnp(kernel)
+                return pc.packed_conv3d_stride1_folded(
+                    xp, kp.astype(xp.dtype), bp.astype(xp.dtype),
+                    n_volumes=n_volumes, formulation=f)
+            kp = pc.pack_kernel_stride1_jnp(kernel)
             return pc.packed_conv3d_stride1(
                 xp, kp.astype(xp.dtype), bp.astype(xp.dtype),
                 kd_pad=self.kernel_size // 2)
         if self.mode == "s2":
             kp = pc.pack_kernel_stride2_jnp(kernel)
+            if n_volumes is not None:
+                return pc.packed_conv3d_stride2_folded(
+                    xp, kp.astype(xp.dtype), bias.astype(xp.dtype),
+                    n_volumes=n_volumes, z_stride=self.z_stride,
+                    kd_pad=self.kernel_size // 2)
             return pc.packed_conv3d_stride2(
                 xp, kp.astype(xp.dtype), bias.astype(xp.dtype),
                 z_stride=self.z_stride, kd_pad=self.kernel_size // 2)
         kp = pc.pack_kernel_1x1_jnp(kernel)
         bp = pc.pack_bias_jnp(bias)
+        if n_volumes is not None:
+            return pc.packed_conv1x1_folded(xp, kp.astype(xp.dtype),
+                                            bp.astype(xp.dtype))
         return ops.conv3d(xp, kp.astype(xp.dtype), bp.astype(xp.dtype),
                           stride=1, padding=0)
 
@@ -80,19 +102,27 @@ class PackedDownBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, xp: Array, train: bool = False):
+    def __call__(self, xp: Array, train: bool = False,
+                 n_volumes: Optional[int] = None):
         y = PackedConv(self.in_channels, self.in_channels, mode="s1",
                        kernel_size=self.kernel_size, dtype=self.dtype,
-                       name="conv1")(xp)
-        y = ops.leaky_relu(
-            pc.group_instance_norm_packed(y, self.in_channels))
+                       name="conv1")(xp, n_volumes=n_volumes)
+        if n_volumes is not None:
+            y = ops.leaky_relu(pc.group_instance_norm_folded(
+                y, self.in_channels, n_volumes=n_volumes))
+        else:
+            y = ops.leaky_relu(
+                pc.group_instance_norm_packed(y, self.in_channels))
         if self.is_res:
             y = y + xp
         z = PackedConv(self.out_channels, self.in_channels, mode="s2",
                        z_stride=self.z_stride,
                        kernel_size=self.kernel_size, dtype=self.dtype,
-                       name="conv2")(y)
-        z = ops.leaky_relu(ops.instance_norm(z))
+                       name="conv2")(y, n_volumes=n_volumes)
+        if n_volumes is not None:
+            z = ops.leaky_relu(pc.instance_norm_folded(z, n_volumes=n_volumes))
+        else:
+            z = ops.leaky_relu(ops.instance_norm(z))
         if self.dropout is not None:
             z = nn.Dropout(self.dropout)(z, deterministic=not train)
         return z, y
@@ -112,16 +142,23 @@ class PackedUpBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, xp: Array, skip_p: Array, train: bool = False) -> Array:
+    def __call__(self, xp: Array, skip_p: Array, train: bool = False,
+                 n_volumes: Optional[int] = None) -> Array:
+        def norm(t):
+            if n_volumes is not None:
+                return pc.group_instance_norm_folded(
+                    t, self.out_channels, n_volumes=n_volumes)
+            return pc.group_instance_norm_packed(t, self.out_channels)
+
         x = PackedConv(self.out_channels, self.in_channels, mode="s1",
                        kernel_size=self.kernel_size, dtype=self.dtype,
-                       name="conv1")(xp)
-        x = ops.leaky_relu(pc.group_instance_norm_packed(x, self.out_channels))
+                       name="conv1")(xp, n_volumes=n_volumes)
+        x = ops.leaky_relu(norm(x))
         x = jnp.concatenate([x, skip_p], axis=-1)
         x = PackedConv(self.out_channels, 2 * self.out_channels, mode="s1",
                        kernel_size=self.kernel_size, dtype=self.dtype,
-                       name="conv2")(x)
-        x = ops.leaky_relu(pc.group_instance_norm_packed(x, self.out_channels))
+                       name="conv2")(x, n_volumes=n_volumes)
+        x = ops.leaky_relu(norm(x))
         if self.dropout is not None:
             x = nn.Dropout(self.dropout)(x, deterministic=not train)
         return x
@@ -137,16 +174,25 @@ class PackedSpatialAttentionGate(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, skip_p: Array, up_p: Array) -> Array:
+    def __call__(self, skip_p: Array, up_p: Array,
+                 n_volumes: Optional[int] = None) -> Array:
+        def norm(t):
+            if n_volumes is not None:
+                return pc.group_instance_norm_folded(
+                    t, self.inter_channel, n_volumes=n_volumes)
+            return pc.group_instance_norm_packed(t, self.inter_channel)
+
         xs = PackedConv(self.inter_channel, self.in_channel1, mode="1x1",
-                        dtype=self.dtype, name="W_x_0")(skip_p)
-        xs = pc.group_instance_norm_packed(xs, self.inter_channel)
+                        dtype=self.dtype, name="W_x_0")(skip_p,
+                                                        n_volumes=n_volumes)
+        xs = norm(xs)
         gs = PackedConv(self.inter_channel, self.in_channel2, mode="1x1",
-                        dtype=self.dtype, name="W_g_0")(up_p)
-        gs = pc.group_instance_norm_packed(gs, self.inter_channel)
+                        dtype=self.dtype, name="W_g_0")(up_p,
+                                                        n_volumes=n_volumes)
+        gs = norm(gs)
         a = nn.relu(xs + gs)
         a = PackedConv(1, self.inter_channel, mode="1x1", dtype=self.dtype,
-                       name="psi_0")(a)
+                       name="psi_0")(a, n_volumes=n_volumes)
         return nn.sigmoid(a)
 
 

@@ -51,6 +51,20 @@ def packed_one_hot_argmax2(xp: Array, unpack_times: int = 2) -> Array:
     return oh
 
 
+def folded_one_hot_argmax2(xf: Array, n_volumes: int) -> Array:
+    """packed_one_hot_argmax2 for FOLDED doubly-packed logits
+    (N*D, H2, W2, 4C): lane compare in the folded layout, one folded
+    unembed, unfold, then the model-level window unembed."""
+    from lintransunet_tpu import ops
+    from lintransunet_tpu.ops import packed_conv as pc
+
+    c = xf.shape[-1]
+    fg = xf[..., c // 2:] > xf[..., :c // 2]
+    oh = jnp.concatenate([jnp.logical_not(fg), fg], axis=-1).astype(xf.dtype)
+    oh = pc.unfold_depth(pc.unpack_folded(oh), n_volumes)
+    return ops.windows_unembedding(oh, 2)
+
+
 class TraditionUnet(nn.Module):
     """Plain 3D UNet (trans_3DUnet.py:7-35)."""
 
@@ -175,6 +189,7 @@ class MaskTransUnet(nn.Module):
     kernel_size: int = 3
     dropout: float = 0.3
     packed_levels: int = 0
+    folded: Optional[bool] = None
     n_layers: int = 8
     dtype: Optional[jnp.dtype] = None
 
@@ -183,14 +198,19 @@ class MaskTransUnet(nn.Module):
         """``train`` gates dropout; ``return_aux`` (default: train) selects
         the (out, mask_list) train branch vs the one-hot-argmax eval branch,
         so the train branch can be evaluated deterministically."""
+        from lintransunet_tpu.ops import packed_conv as pc
+
         if return_aux is None:
             return_aux = train
         n_levels = len(self.num_layers)
         packed_eval = (not return_aux and self.dim_output == 2
                        and min(self.packed_levels, n_levels - 2) > 0)
+        folded = (pc.FOLDED_LAYOUT_DEFAULT if self.folded is None
+                  else self.folded)
         bottle, skips = Encoder(self.num_layers, self.dim_input,
                                 self.kernel_size, self.dropout,
                                 packed_levels=self.packed_levels,
+                                folded=folded,
                                 dtype=self.dtype, name="encode")(x, train=train)
         out, mask_list = ROIDecoder(
             num_layers=self.num_layers,
@@ -199,6 +219,7 @@ class MaskTransUnet(nn.Module):
             dim_output=self.dim_output,
             dropout=self.dropout,
             packed_levels=self.packed_levels,
+            folded=folded,
             n_layers=self.n_layers,
             # eval branch one-hots the argmax, which softmax cannot change —
             # skip the full-resolution f32 softmax there
@@ -209,6 +230,8 @@ class MaskTransUnet(nn.Module):
         if return_aux:
             return out, mask_list
         if packed_eval:
+            if folded:
+                return folded_one_hot_argmax2(out, x.shape[0])
             return packed_one_hot_argmax2(out)
         return one_hot_argmax(out)
 

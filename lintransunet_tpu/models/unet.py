@@ -44,6 +44,7 @@ class Encoder(nn.Module):
     dropout: Optional[float] = None
     emb_window: int = 2
     packed_levels: int = 0
+    folded: Optional[bool] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -51,12 +52,15 @@ class Encoder(nn.Module):
         n_blocks = len(self.num_layers) - 1
         hw_div = self.emb_window * 2 ** n_blocks
         d_div = 2 ** sum(encoder_stride(i)[2] == 2 for i in range(1, n_blocks + 1))
-        _, h, w, d, _ = x.shape
+        n, h, w, d, _ = x.shape
         if h % hw_div or w % hw_div or d % d_div:
             raise ValueError(
                 f"input spatial dims (H={h}, W={w}, D={d}) must be divisible "
                 f"by ({hw_div}, {hw_div}, {d_div}) for {n_blocks} encoder "
                 f"levels with window embedding {self.emb_window}")
+        folded = (pc.FOLDED_LAYOUT_DEFAULT if self.folded is None
+                  else self.folded)
+        nv = n if folded else None
         x = ops.windows_embedding(x, self.emb_window)
         skips = []
         p_levels = min(self.packed_levels, n_blocks - 1)
@@ -64,13 +68,23 @@ class Encoder(nn.Module):
             # packed fast path for the top level(s) (ops/packed_conv.py):
             # identical math, kernels transformed at trace time; skips of
             # packed levels stay packed for the packed decoder levels.
-            xp = pk.pack(x)
+            # In the folded regime the ONE real transpose of the whole
+            # packed region happens here, on the thinnest tensor.
+            if folded:
+                xp = pc.pack_folded(pc.fold_depth(x))
+            else:
+                xp = pk.pack(x)
             xp = pk.PackedConv(self.num_layers[0],
                                self.dim_input * self.emb_window ** 2,
                                mode="s1", kernel_size=self.kernel_size,
-                               dtype=self.dtype, name="input_block")(xp)
-            xp = ops.leaky_relu(
-                pc.group_instance_norm_packed(xp, self.num_layers[0]))
+                               dtype=self.dtype, name="input_block")(
+                                   xp, n_volumes=nv)
+            if folded:
+                xp = ops.leaky_relu(pc.group_instance_norm_folded(
+                    xp, self.num_layers[0], n_volumes=n))
+            else:
+                xp = ops.leaky_relu(
+                    pc.group_instance_norm_packed(xp, self.num_layers[0]))
         else:
             x = _conv(self.num_layers[0], self.kernel_size,
                       padding=self.kernel_size // 2, dtype=self.dtype,
@@ -86,10 +100,13 @@ class Encoder(nn.Module):
                     z_stride=encoder_stride(i)[2],
                     dropout=self.dropout,
                     dtype=self.dtype,
-                    name=f"block_list_{i - 1}")(xp, train=train)
+                    name=f"block_list_{i - 1}")(xp, train=train, n_volumes=nv)
                 skips.append(skip_p)
                 if i < p_levels:
-                    xp = pk.pack(x)
+                    xp = pc.pack_folded(x) if folded else pk.pack(x)
+                elif folded:
+                    # crossing into the unpacked levels: unfold once
+                    x = pc.unfold_depth(x, n)
             else:
                 x, skip = DownBlock(
                     in_channels=self.num_layers[i - 1],
@@ -162,6 +179,7 @@ class ROIDecoder(nn.Module):
     n_layers: int = 8
     emb_window: int = 2
     packed_levels: int = 0
+    folded: Optional[bool] = None
     apply_softmax: bool = True
     return_packed_logits: bool = False
     dtype: Optional[jnp.dtype] = None
@@ -171,6 +189,9 @@ class ROIDecoder(nn.Module):
         layers = list(self.num_layers)
         n_levels = len(layers)
         mask_list = []
+        folded = (pc.FOLDED_LAYOUT_DEFAULT if self.folded is None
+                  else self.folded)
+        n = None  # volume count, set on entering the packed levels
 
         for i in range(n_levels):
             if i == 0:
@@ -188,11 +209,19 @@ class ROIDecoder(nn.Module):
                 # upsample directly into the packed layout (no full-res
                 # unpacked intermediate)
                 z2 = decoder_scale(n_levels, i)[2] == 2
-                xp = pc.packed_upsample_x2(x, z2=z2)
+                if folded:
+                    if n is None:
+                        # first packed level: x arrives unpacked 5D from the
+                        # level above — the region's one entry transpose
+                        n = x.shape[0]
+                        x = pc.fold_depth(x)
+                    xp = pc.packed_upsample_x2_folded(x, n_volumes=n, z2=z2)
+                else:
+                    xp = pc.packed_upsample_x2(x, z2=z2)
                 x = self._packed_level(xp, encoded_list[-i], level, i,
-                                       mask_list, train)
+                                       mask_list, train, n_volumes=n)
                 if level > 0:
-                    x = pk.unpack(x)
+                    x = pc.unpack_folded(x) if folded else pk.unpack(x)
                 continue
 
             x = ops.resize_linear_align_corners(x, decoder_scale(n_levels, i))
@@ -241,13 +270,18 @@ class ROIDecoder(nn.Module):
             x = pk.PackedConv(self.dim_output * self.emb_window ** 2,
                               layers[0], mode="s1",
                               kernel_size=self.kernel_size, dtype=self.dtype,
-                              name="final_block")(x)
+                              name="final_block")(x, n_volumes=n)
             if self.return_packed_logits and not self.apply_softmax:
                 # eval fast path: the caller computes the one-hot argmax in
                 # the packed layout (models.registry.packed_one_hot_argmax2)
                 # — a full-res (…, 2) argmax pays a ~15x lane-padding tax.
+                # Folded regime: logits stay FOLDED (N*D, H2, W2, 4C);
+                # the caller unfolds after its lane compare.
                 return x, mask_list
-            x = pk.unpack(x)
+            if folded:
+                x = pc.unfold_depth(pc.unpack_folded(x), n)
+            else:
+                x = pk.unpack(x)
         else:
             x = _conv(self.dim_output * self.emb_window ** 2,
                       self.kernel_size, padding=self.kernel_size // 2,
@@ -260,42 +294,61 @@ class ROIDecoder(nn.Module):
         return nn.softmax(x.astype(jnp.float32), axis=-1), mask_list
 
     def _packed_level(self, xp: Array, skip_p: Array, level: int, i: int,
-                      mask_list, train: bool) -> Array:
+                      mask_list, train: bool,
+                      n_volumes: Optional[int] = None) -> Array:
         """Decoder level on the packed layout (same math, measured ~3x).
 
         ``xp`` arrives PACKED (packed_upsample_x2 output); ``skip_p`` arrives
         packed from the packed encoder level. Returns the packed merged
         feature at ``level`` resolution (the caller unpacks unless level ==
         0, whose output feeds the packed final conv directly).
+
+        ``n_volumes`` set => FOLDED regime: xp/skip_p are (N*D, H2, W2, 4C)
+        and the level is transpose-free except the mask unfold (tiny) and
+        the ROIBridge crossing (the bridge is inherently 5D).
         """
         layers = list(self.num_layers)
+        nv = n_volumes
+        folded = nv is not None
 
         mask_p = pk.PackedConv(self.dim_output, layers[level + 1], mode="s1",
                                kernel_size=self.kernel_size, dtype=self.dtype,
-                               name=f"mask_conv_list_{level}")(xp)
+                               name=f"mask_conv_list_{level}")(
+                                   xp, n_volumes=nv)
         shape = mask_p.shape
         grouped = mask_p.reshape(shape[:-1] + (self.dim_output, 4))
         grouped = nn.softmax(grouped.astype(jnp.float32), axis=-2)
-        mask = pk.unpack(grouped.reshape(shape).astype(jnp.float32))
+        grouped = grouped.reshape(shape).astype(jnp.float32)
+        if folded:
+            mask = pc.unfold_depth(pc.unpack_folded(grouped), nv)
+        else:
+            mask = pk.unpack(grouped)
         mask_list.append(mask)
 
         gate_p = pk.PackedSpatialAttentionGate(
             in_channel1=layers[level], in_channel2=layers[level + 1],
             inter_channel=layers[level], dtype=self.dtype,
-            name=f"att_conv_list_{level}")(skip_p, xp)
+            name=f"att_conv_list_{level}")(skip_p, xp, n_volumes=nv)
         skip_p = pc.packed_scale(skip_p, gate_p.astype(skip_p.dtype),
                                  layers[level])
 
         if self.is_roi_list[level]:
             d_model = min(4 * layers[level], 256)
             foreground = (1.0 - mask[..., 0:1]).astype(skip_p.dtype)
+            if folded:
+                skip_5d = pc.unfold_depth(pc.unpack_folded(skip_p), nv)
+            else:
+                skip_5d = pk.unpack(skip_p)
             bridged = ROIBridge(
                 in_dim=layers[level], d_model=d_model, nhead=d_model // 32,
                 dropout=self.dropout, n_layers=self.n_layers,
                 roi_size=self.roi_size_list[level], dtype=self.dtype,
-                name=f"bridge_list_{level}")(pk.unpack(skip_p), foreground,
+                name=f"bridge_list_{level}")(skip_5d, foreground,
                                              train=train)
-            bridged = pk.pack(bridged)
+            if folded:
+                bridged = pc.pack_folded(pc.fold_depth(bridged))
+            else:
+                bridged = pk.pack(bridged)
         else:
             bridged = skip_p
 
@@ -303,7 +356,8 @@ class ROIDecoder(nn.Module):
             in_channels=layers[level + 1], out_channels=layers[level],
             kernel_size=self.kernel_size, dropout=self.dropout,
             dtype=self.dtype,
-            name=f"block_list_{i - 1}")(xp, bridged, train=train)
+            name=f"block_list_{i - 1}")(xp, bridged, train=train,
+                                        n_volumes=nv)
 
 
 class MaskDecoder(nn.Module):

@@ -34,6 +34,30 @@ from lintransunet_tpu.ops.conv import conv3d
 # contract explicit: set LINTRANSUNET_CONV3D=1 before importing the package.
 FORCE_CONV3D = os.environ.get("LINTRANSUNET_CONV3D") == "1"
 
+# Stride-1 conv formulation on the FOLDED layout ("3d" = one NDHWC conv,
+# "taps" = three depth-shifted 2D convs, "auto" = by channel width).
+# Measured (v5e, experiments/folded_chain_bench.py): "3d" wins at 4C=64
+# (11.8 vs 9.7 TF/s useful), "taps" at 4C=128 (36.9 vs 32.5). Frozen at
+# import for the same trace-time reason as FORCE_CONV3D.
+FOLDED_S1_FORMULATION = os.environ.get("LINTRANSUNET_FOLDED_S1", "auto")
+
+# Whether packed model levels run in the FOLDED layout (fold depth into the
+# batch dim once per region) instead of the packed 5D layout with per-conv
+# folds. Frozen at import (trace-time flag).
+FOLDED_LAYOUT_DEFAULT = os.environ.get("LINTRANSUNET_FOLDED", "0") != "0"
+
+
+def resolve_s1_formulation(c4: int, formulation: str = None) -> str:
+    """Resolve the folded stride-1 formulation for a 4C-lane conv.
+
+    "sheared" (pack_kernel_stride1_sheared_jnp + the realign pass, 16/9x
+    FLOPs) is only reachable via explicit request — callers that own the
+    kernel transform (models.packed.PackedConv) dispatch on this."""
+    f = formulation or FOLDED_S1_FORMULATION
+    if f == "auto":
+        return "3d" if c4 <= 64 else "taps"
+    return f
+
 
 def pack_kernel_stride1_jnp(kernel: jnp.ndarray) -> jnp.ndarray:
     """Traced-array version of pack_kernel_stride1 (for in-jit transforms of
@@ -329,7 +353,7 @@ def unfold_depth(xf: jnp.ndarray, n_volumes: int) -> jnp.ndarray:
 
 def packed_conv3d_stride1_folded(xf: jnp.ndarray, packed_kernel, bias=None,
                                  n_volumes: int = 1,
-                                 formulation: str = "3d") -> jnp.ndarray:
+                                 formulation: str = None) -> jnp.ndarray:
     """packed_conv3d_stride1 on the FOLDED layout (transpose-free).
 
     xf: (N*D, H2, W2, 4C); packed_kernel: (3, 3, 3, 4C, 4O) from
@@ -344,6 +368,7 @@ def packed_conv3d_stride1_folded(xf: jnp.ndarray, packed_kernel, bias=None,
       conv3d 1.6x on the unfolded path); depth shifts are leading-dim row
       slices of the per-volume zero-padded buffer.
     """
+    formulation = resolve_s1_formulation(xf.shape[-1], formulation)
     assert packed_kernel.shape[2] == 3, "folded path expects kd == 3"
     packed_kernel = packed_kernel.astype(xf.dtype)
     nd, h2, w2, c4 = xf.shape
@@ -366,6 +391,37 @@ def packed_conv3d_stride1_folded(xf: jnp.ndarray, packed_kernel, bias=None,
                 xs, packed_kernel[:, :, dp], (1, 1), [(1, 1), (1, 1)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             out = y if out is None else out + y
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def packed_conv3d_stride1_sheared_folded(xf: jnp.ndarray, sheared_kernel,
+                                         bias=None,
+                                         n_volumes: int = 1) -> jnp.ndarray:
+    """packed_conv3d_stride1_sheared on the FOLDED layout.
+
+    Same 2x2-block-tap trick (16/9 of the ORIGINAL FLOPs vs the dense
+    packed kernel's 4x — see pack_kernel_stride1_sheared_jnp), with depth
+    riding the leading spatial dim of one NDHWC conv. The realign is one
+    slice+stack pass on the conv output. Bit-identical function to
+    packed_conv3d_stride1_folded.
+    """
+    sheared_kernel = sheared_kernel.astype(xf.dtype)
+    nd, h2, w2, c4 = xf.shape
+    d = nd // n_volumes
+    o4 = sheared_kernel.shape[-1]
+    x5 = xf.reshape(n_volumes, d, h2, w2, c4)
+    x5 = jnp.pad(x5, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    kd_first = sheared_kernel.transpose(2, 0, 1, 3, 4)  # (kd, 2, 2, 4C, 4O)
+    y = jax.lax.conv_general_dilated(
+        x5, kd_first, (1, 1, 1), [(1, 1), (0, 0), (0, 0)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    # y: (N, D, H2+1, W2+1, 4O); realign sub-position group (alpha, beta)
+    parts = [y[:, :, alpha:alpha + h2, beta:beta + w2, alpha * 2 + beta::4]
+             for alpha in (0, 1) for beta in (0, 1)]
+    out = jnp.stack(parts, axis=-1)  # (N, D, H2, W2, O, 4)
+    out = out.reshape(nd, h2, w2, o4)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
@@ -427,6 +483,21 @@ def group_instance_norm_folded(xf: jnp.ndarray, channels: int,
     var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3, 5), keepdims=True)
     out = (x32 - mean) * (1.0 / jnp.sqrt(var + eps))
     return out.reshape(nd, h, w, c4).astype(xf.dtype)
+
+
+def instance_norm_folded(xf: jnp.ndarray, n_volumes: int = 1,
+                         eps: float = 1e-5) -> jnp.ndarray:
+    """Plain InstanceNorm on a folded UNPACKED (N*D, H, W, C) tensor.
+
+    Stats per (volume, channel) over (depth-rows x H x W) — identical to
+    ops.instance_norm on the unfolded (N, H, W, D, C) view."""
+    nd, h, w, c = xf.shape
+    d = nd // n_volumes
+    x32 = xf.astype(jnp.float32).reshape(n_volumes, d, h, w, c)
+    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True)
+    out = (x32 - mean) * (1.0 / jnp.sqrt(var + eps))
+    return out.reshape(nd, h, w, c).astype(xf.dtype)
 
 
 def unpack_folded(xf: jnp.ndarray) -> jnp.ndarray:

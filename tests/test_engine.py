@@ -137,8 +137,10 @@ def test_sliding_window_pads_small_volumes(rng):
 
 
 def test_runner_depth_bucketing(rng):
+    # chunk_bucket=2 rounds the chunk counts of both depths to a common
+    # value (the default is 1: exact grids, no pad-window forwards)
     runner = engine.SlidingWindowRunner(lambda x: x, (8, 8, 4), 2,
-                                        depth_bucket=4)
+                                        depth_bucket=4, chunk_bucket=2)
     for d in (5, 7):
         vol = jnp.asarray(rng.standard_normal((1, 8, 8, d, 2)).astype(np.float32))
         out = runner(vol)

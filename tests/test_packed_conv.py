@@ -226,3 +226,93 @@ def test_folded_upsample_matches_packed(rng):
         got = pc.packed_upsample_x2_folded(xf, n_volumes=n, z2=z2)
         np.testing.assert_allclose(np.asarray(pc.unfold_depth(got, n)),
                                    np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_folded_sheared_conv_matches_packed(rng):
+    n, h2, w2, d, c, o = 2, 6, 5, 4, 3, 5
+    xp = jnp.asarray(rng.standard_normal((n, h2, w2, d, 4 * c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, c, o)).astype(np.float32))
+    kp = pc.pack_kernel_stride1_jnp(k)
+    ks = pc.pack_kernel_stride1_sheared_jnp(k)
+    bp = jnp.asarray(pc.pack_bias_stride1(
+        rng.standard_normal((o,)).astype(np.float32)))
+
+    ref = pc.packed_conv3d_stride1(xp, kp, bp)
+    got = pc.packed_conv3d_stride1_sheared_folded(pc.fold_depth(xp), ks, bp,
+                                                  n_volumes=n)
+    np.testing.assert_allclose(np.asarray(pc.unfold_depth(got, n)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_folded_plain_instance_norm(rng):
+    x = jnp.asarray(rng.standard_normal((2, 6, 5, 4, 3)).astype(np.float32))
+    ref = ops.instance_norm(x)
+    got = pc.instance_norm_folded(pc.fold_depth(x), n_volumes=2)
+    np.testing.assert_allclose(np.asarray(pc.unfold_depth(got, 2)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------- folded model path
+
+def test_folded_model_matches_packed(rng):
+    """folded=True must compute the same function with the same params as
+    the packed 5D path (both branches, batch > 1)."""
+    import jax
+
+    from lintransunet_tpu.models import MaskTransUnet
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(8, 6, 4),
+              is_roi_list=(False, True, True), dim_input=1, dim_output=2,
+              packed_levels=2)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 4, 1)).astype(np.float32))
+    base = MaskTransUnet(**kw, folded=False)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    ref_out, ref_masks = base.apply(variables, x, train=False, return_aux=True)
+
+    fast = MaskTransUnet(**kw, folded=True)
+    got_out, got_masks = fast.apply(variables, x, train=False, return_aux=True)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-5)
+    assert len(got_masks) == len(ref_masks)
+    for g, r in zip(got_masks, ref_masks):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_folded_model_roi_level(rng):
+    """Folded equivalence with an ROI bridge at the packed levels."""
+    import jax
+
+    from lintransunet_tpu.models import MaskTransUnet
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(6, 6, 4),
+              is_roi_list=(True, True, True), dim_input=1, dim_output=2,
+              packed_levels=2)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 4, 1)).astype(np.float32))
+    base = MaskTransUnet(**kw, folded=False)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    ref_out, _ = base.apply(variables, x, train=False, return_aux=True)
+    fast = MaskTransUnet(**kw, folded=True)
+    got_out, _ = fast.apply(variables, x, train=False, return_aux=True)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_folded_eval_branch_matches_packed_eval(rng):
+    """The folded eval epilogue (folded_one_hot_argmax2) must equal the
+    argmax of the folded model's own probabilities."""
+    import jax
+
+    from lintransunet_tpu.models import MaskTransUnet
+    from lintransunet_tpu.models.registry import one_hot_argmax
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(8, 6, 4),
+              is_roi_list=(False, True, True), dim_input=1, dim_output=2,
+              packed_levels=2, folded=True)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 4, 1)).astype(np.float32))
+    fast = MaskTransUnet(**kw)
+    variables = fast.init(jax.random.PRNGKey(0), x, train=False)
+    probs, _ = fast.apply(variables, x, train=False, return_aux=True)
+    got = fast.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(one_hot_argmax(probs)))
