@@ -68,6 +68,12 @@ def main():
     init_patch = jnp.zeros((1,) + roi + (1,), jnp.bfloat16)
     params = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), init_patch, train=False))()["params"]
+    # serving-time kernel prepack: the conv pack transforms are pure functions
+    # of the params; doing them once here instead of per window saves ~12 ms
+    # of the eval-window trace (docs/DESIGN.md round-3 ledger)
+    from lintransunet_tpu.models import prepack_params
+
+    params = prepack_params(model, params, init_patch)
 
     forward = make_eval_forward(model)
     runner = SlidingWindowRunner(

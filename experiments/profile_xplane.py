@@ -103,6 +103,32 @@ def report(outdir, top):
           f"{total / 3:.2f}/run)")
     for k, v in sorted(cats.items(), key=lambda kv: -kv[1]):
         print(f"  {k:24s} {v / 3:8.2f} ms/run")
+
+    # Bucket by the op's OUTPUT shape leading spatial dims — localises cost
+    # to a model stage (folded L0 = [64,128,128,*], folded L1 = [64,64,64,*],
+    # bridge token/grid shapes, etc).
+    import re
+
+    def shape_bucket(name):
+        m = re.search(r"=\s*(?:\()?\w+\[([0-9,]*)\]", name)
+        if not m:
+            return "(no-shape)"
+        dims = m.group(1).split(",")
+        if len(dims) >= 3:
+            return "[" + ",".join(dims[:-1]) + ",*]"
+        return "[" + ",".join(dims) + "]"
+
+    buckets = defaultdict(float)
+    bcount = defaultdict(int)
+    for name, dur in agg.items():
+        b = shape_bucket(name)
+        buckets[b] += dur
+        bcount[b] += counts[name]
+    print("\n-- by output shape (ms/run) --")
+    for b, v in sorted(buckets.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{v / 3:9.3f} ms/run  x{bcount[b] // 3:<4d} {b}")
+
+    print("\n-- top ops --")
     for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{dur / 3:9.3f} ms/run  x{counts[name] // 3:<4d} {name[:110]}")
 

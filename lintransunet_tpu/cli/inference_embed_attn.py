@@ -78,6 +78,13 @@ def main(args):
 
         params = engine.restore_params(os.path.join(
             args.pretrained_dir, f"fold_{fold_num}", "temp_model"))
+        # serving-time conv-kernel prepack (pure param transform, once per
+        # checkpoint instead of inside every window forward)
+        from lintransunet_tpu.models import prepack_params
+
+        params = prepack_params(model, params, jnp.zeros(
+            (1, args.roi_size, args.roi_size, args.depth_size, 1),
+            jnp.bfloat16))
 
         summary_patient_loss = []
         total_loss = [0.0] * len(criterions)

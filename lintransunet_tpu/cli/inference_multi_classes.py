@@ -82,6 +82,12 @@ def main(args):
                             shuffle=False, num_workers=4)
         params = engine.restore_params(os.path.join(
             args.pretrained_dir, f"fold_{fold_num}", "temp_model"))
+        # serving-time conv-kernel prepack (see inference_embed_attn)
+        from lintransunet_tpu.models import prepack_params
+
+        params = prepack_params(model, params, jnp.zeros(
+            (1, args.roi_size, args.roi_size, args.depth_size, 1),
+            jnp.bfloat16))
 
         summary_patient_loss = []
         total_loss = [0.0] * len(criterions)

@@ -60,7 +60,7 @@ def main(args):
     import jax
     import jax.numpy as jnp
 
-    from lintransunet_tpu import engine, parallel
+    from lintransunet_tpu import engine, models, parallel
     from lintransunet_tpu.cli.common import build_model, get_criterion_list, run_dirs
     from lintransunet_tpu.data import DataLoader, EvaPanCTDataset, IdPosPanCTDataset
     from lintransunet_tpu.data.split import load_fold
@@ -111,6 +111,11 @@ def main(args):
                   getattr(args, "eval_depth", 64)),
         sw_batch_size=1, overlap=0.6, mode="constant",
         depth_bucket=min(32, getattr(args, "eval_depth", 64)))
+    # eval-time conv-kernel prepack: one param transform per eval epoch
+    # instead of one per window forward (models/packed.py:prepack_params)
+    eval_plan = models.prepack_plan(model, jax.ShapeDtypeStruct(
+        (1, args.image_crop, args.image_crop,
+         getattr(args, "eval_depth", 64), model.dim_input), jnp.bfloat16))
 
     scheduler = engine.ReduceLROnPlateau(
         lr=args.learning_rate, factor=args.plateau_factor,
@@ -142,7 +147,8 @@ def main(args):
         if epoch % args.eval_epoch == 0:
             eval_loss, global_step = loop.eval_on_epoch(
                 runner, test_dl, eval_criterions, writer, global_step,
-                runner_args=(state.params,))
+                runner_args=(models.prepack_params(
+                    model, state.params, None, plan=eval_plan),))
             state = engine.set_learning_rate(state, scheduler.step(eval_loss))
             if eval_loss <= best_eval_loss:
                 best_eval_loss = eval_loss

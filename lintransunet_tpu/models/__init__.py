@@ -16,6 +16,7 @@ from lintransunet_tpu.models.blocks import (
     UpEmbedBlock,
 )
 from lintransunet_tpu.models.bridges import Bridge, ConnectBridge, InitialBridge, ROIBridge
+from lintransunet_tpu.models.packed import prepack_params, prepack_plan
 from lintransunet_tpu.models.registry import (
     BottleTransUnet,
     MaskSkipTransUnet,
@@ -58,4 +59,6 @@ __all__ = [
     "Model_Dict",
     "get_model_dict",
     "one_hot_argmax",
+    "prepack_params",
+    "prepack_plan",
 ]

@@ -14,12 +14,79 @@ for sub-position (a, b) == ops.patchify.windows_embedding(kernel_size=2).
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from lintransunet_tpu import ops
 from lintransunet_tpu.ops import packed_conv as pc
 
 Array = jnp.ndarray
+
+# When set (a list), every PackedConv traced appends (path, mode, folded) —
+# used by prepack_plan to enumerate the kernels prepack_params must transform.
+_PREPACK_CAPTURE = None
+
+
+def prepack_plan(model, example, train: bool = False):
+    """Abstract-trace ``model``; list every PackedConv as (path, mode, folded).
+
+    Runs under jax.eval_shape — no FLOPs, no device memory. ``example`` may
+    be a jax.ShapeDtypeStruct."""
+    global _PREPACK_CAPTURE
+    _PREPACK_CAPTURE = []
+    try:
+        jax.eval_shape(
+            lambda e: model.init(jax.random.PRNGKey(0), e, train=train),
+            example)
+    finally:
+        plan, _PREPACK_CAPTURE = _PREPACK_CAPTURE, None
+    return plan
+
+
+def _mutable_tree(d):
+    if hasattr(d, "items") and not hasattr(d, "__setitem__"):
+        return {k: _mutable_tree(v) for k, v in d.items()}
+    if isinstance(d, dict):
+        return {k: _mutable_tree(v) for k, v in d.items()}
+    return d
+
+
+def prepack_params(model, params, example, plan=None):
+    """Pre-transform every PackedConv kernel in ``params`` to its packed form.
+
+    The pack transforms (pack_kernel_stride1/2/1x1) are pure functions of the
+    stored kernel; running them per forward costs ~12 ms/window on the
+    eval-window trace (round 3, docs/DESIGN.md §10). This applies them ONCE —
+    the returned tree drives the same ``model.apply`` (PackedConv detects the
+    packed shapes and skips the transform). Use for inference/serving only:
+    the optimiser must keep training on raw kernels.
+    """
+    plan = plan if plan is not None else prepack_plan(model, example)
+
+    # one jitted call (not eager per-op dispatches — the axon tunnel costs
+    # ~30 ms per host round-trip, and the pack transforms are many small ops)
+    def transform(p):
+        p = _mutable_tree(p)
+        for path, mode, folded in plan:
+            node = p
+            for name in path:
+                node = node[name]
+            kernel = node["kernel"]
+            if mode == "s1":
+                c4 = 4 * kernel.shape[3]
+                # the sheared formulation (and its kernel layout) exists only
+                # on the folded path; packed-5D always takes the dense pack
+                if folded and pc.resolve_s1_formulation(c4) == "sheared":
+                    node["kernel"] = pc.pack_kernel_stride1_sheared_jnp(kernel)
+                else:
+                    node["kernel"] = pc.pack_kernel_stride1_jnp(kernel)
+            elif mode == "s2":
+                node["kernel"] = pc.pack_kernel_stride2_jnp(kernel)
+            else:
+                node["kernel"] = pc.pack_kernel_1x1_jnp(kernel)
+        return p
+
+    return jax.jit(transform)(params)
 
 
 class PackedConv(nn.Module):
@@ -43,31 +110,50 @@ class PackedConv(nn.Module):
         """``n_volumes=None``: packed 5D layout (N, H2, W2, D, 4C).
         ``n_volumes=n``: FOLDED layout (n*D, H2, W2, 4C) — same params, the
         transpose-free ops from ops/packed_conv.py."""
+        if _PREPACK_CAPTURE is not None:
+            _PREPACK_CAPTURE.append(
+                (self.scope.path, self.mode, n_volumes is not None))
         k = 1 if self.mode == "1x1" else self.kernel_size
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (k, k, k, self.in_features, self.features), jnp.float32)
+        if self.is_initializing() or not self.has_variable("params", "kernel"):
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (k, k, k, self.in_features, self.features), jnp.float32)
+        else:
+            # raw accessor: prepack_params stores the PACKED kernel under the
+            # same name (different shape), which nn.param would reject
+            kernel = self.get_variable("params", "kernel")
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        # pre-packed detection by shape (prepack_params): raw s1/1x1 kernels
+        # have shape (k,k,k,C,O); dense-packed (3,3,3,4C,4O); sheared
+        # (2,2,3,4C,4O); s2 packed (2,2,kd,4C,O).
+        pre_dense = kernel.shape[3] == 4 * self.in_features and kernel.shape[0] != 2
+        pre_sheared = self.mode != "s2" and kernel.shape[0] == 2
         if self.mode == "s1":
             bp = pc.pack_bias_jnp(bias)
             if n_volumes is not None:
                 f = pc.resolve_s1_formulation(4 * self.in_features)
-                if f == "sheared":
-                    ks = pc.pack_kernel_stride1_sheared_jnp(kernel)
+                if f == "sheared" or pre_sheared:
+                    assert pre_sheared or not pre_dense, (
+                        "sheared formulation requested but kernel was "
+                        "pre-packed dense — rerun prepack_params under the "
+                        "same LINTRANSUNET_FOLDED_S1 setting")
+                    ks = (kernel if pre_sheared
+                          else pc.pack_kernel_stride1_sheared_jnp(kernel))
                     return pc.packed_conv3d_stride1_sheared_folded(
                         xp, ks.astype(xp.dtype), bp.astype(xp.dtype),
                         n_volumes=n_volumes)
-                kp = pc.pack_kernel_stride1_jnp(kernel)
+                kp = kernel if pre_dense else pc.pack_kernel_stride1_jnp(kernel)
                 return pc.packed_conv3d_stride1_folded(
                     xp, kp.astype(xp.dtype), bp.astype(xp.dtype),
                     n_volumes=n_volumes, formulation=f)
-            kp = pc.pack_kernel_stride1_jnp(kernel)
+            kp = kernel if pre_dense else pc.pack_kernel_stride1_jnp(kernel)
             return pc.packed_conv3d_stride1(
                 xp, kp.astype(xp.dtype), bp.astype(xp.dtype),
                 kd_pad=self.kernel_size // 2)
         if self.mode == "s2":
-            kp = pc.pack_kernel_stride2_jnp(kernel)
+            kp = (kernel if kernel.shape[0] == 2
+                  else pc.pack_kernel_stride2_jnp(kernel))
             if n_volumes is not None:
                 return pc.packed_conv3d_stride2_folded(
                     xp, kp.astype(xp.dtype), bias.astype(xp.dtype),
@@ -76,7 +162,7 @@ class PackedConv(nn.Module):
             return pc.packed_conv3d_stride2(
                 xp, kp.astype(xp.dtype), bias.astype(xp.dtype),
                 z_stride=self.z_stride, kd_pad=self.kernel_size // 2)
-        kp = pc.pack_kernel_1x1_jnp(kernel)
+        kp = kernel if pre_dense else pc.pack_kernel_1x1_jnp(kernel)
         bp = pc.pack_bias_jnp(bias)
         if n_volumes is not None:
             return pc.packed_conv1x1_folded(xp, kp.astype(xp.dtype),

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lintransunet_tpu import ops
 from lintransunet_tpu.ops import packed_conv as pc
@@ -316,3 +317,57 @@ def test_folded_eval_branch_matches_packed_eval(rng):
     got = fast.apply(variables, x, train=False)
     np.testing.assert_array_equal(np.asarray(got),
                                   np.asarray(one_hot_argmax(probs)))
+
+
+# ------------------------------------------------------------- prepack plan
+
+@pytest.mark.parametrize("folded", [False, True])
+def test_prepack_params_equivalence(rng, folded):
+    """prepack_params must be a pure re-representation: the same apply on
+    the prepacked tree computes bit-identical outputs (the PackedConv just
+    skips its per-forward kernel transform)."""
+    import jax
+
+    from lintransunet_tpu.models import (MaskTransUnet, prepack_params,
+                                         prepack_plan)
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(8, 6, 4),
+              is_roi_list=(False, True, True), dim_input=1, dim_output=2,
+              packed_levels=2, folded=folded)
+    model = MaskTransUnet(**kw)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 4, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    # plan from an abstract example (no device memory)
+    plan = prepack_plan(model, jax.ShapeDtypeStruct(x.shape, x.dtype))
+    assert plan and all(m in ("s1", "s2", "1x1") for _, m, _ in plan)
+    pp = prepack_params(model, variables["params"], None, plan=plan)
+
+    ref, ref_masks = model.apply(variables, x, train=False, return_aux=True)
+    got, got_masks = model.apply({"params": pp}, x, train=False,
+                                 return_aux=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    for g, r in zip(got_masks, ref_masks):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_prepack_params_unpacked_model_noop(rng):
+    """A model with no packed levels yields an empty plan and unchanged
+    params."""
+    import jax
+
+    from lintransunet_tpu.models import (MaskTransUnet, prepack_params,
+                                         prepack_plan)
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(8, 6, 4),
+              is_roi_list=(False, True, True), dim_input=1, dim_output=2,
+              packed_levels=0)
+    model = MaskTransUnet(**kw)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 4, 1)).astype(np.float32))
+    plan = prepack_plan(model, jax.ShapeDtypeStruct(x.shape, x.dtype))
+    assert plan == []
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    pp = prepack_params(model, variables["params"], None, plan=plan)
+    ref = model.apply(variables, x, train=False)
+    got = model.apply({"params": pp}, x, train=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
