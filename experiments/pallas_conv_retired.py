@@ -1,4 +1,12 @@
-"""Pallas TPU kernel for the packed stride-1 3D convolution (the hot conv).
+"""RETIRED Pallas TPU kernel for the packed stride-1 3D convolution.
+
+Retired from lintransunet_tpu/ops in round 3 per the no-shipped-kernel-
+slower-than-XLA rule: measured 0.4-0.6x vs XLA's lowering of
+ops.packed_conv.packed_conv3d_stride1 on v5e (docs/DESIGN.md round-2
+ledger) — Mosaic still materialises the depth-tap slices, and the K=N<=64
+MXU cap at L0 bounds any kernel to <=1.3x. Kept here as measured groundwork
+for a future 8C-lane (K=N=128) variant, where the cap argument changes.
+
 
 The packed (2x2 space-to-channel) stride-1 conv is the wall-clock core of
 both the encoder and decoder at the top UNet levels (ops/packed_conv.py).
