@@ -56,14 +56,28 @@ def conv3d(
     return y
 
 
-@partial(jax.jit, static_argnames=("eps",))
+def moment_stats(x32: jnp.ndarray, axes, eps: float):
+    """Single-pass (mean, rsqrt(var+eps)) over ``axes``.
+
+    E[x^2] - E[x]^2 instead of E[(x-mean)^2]: the two-pass form makes the
+    second reduction DEPEND on the first, forcing two full HBM reads of the
+    tensor; the sibling reductions here fuse into one pass (~25 ms/window
+    of IN stat fusions on the eval trace, docs/DESIGN.md round-3 ledger).
+    Cancellation is benign at these scales: activations are O(1) post-norm
+    and stats accumulate in f32 tree reductions.
+    """
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    meansq = jnp.mean(jnp.square(x32), axis=axes, keepdims=True)
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    return mean, jax.lax.rsqrt(var + eps)
+
+
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Per-(N, C) normalisation over spatial dims of (N, ..., C), affine-free."""
     axes = tuple(range(1, x.ndim - 1))
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=axes, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    mean, rstd = moment_stats(x32, axes, eps)
+    return ((x32 - mean) * rstd).astype(x.dtype)
 
 
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.01) -> jnp.ndarray:

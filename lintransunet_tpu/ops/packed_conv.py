@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lintransunet_tpu.ops.conv import conv3d
+from lintransunet_tpu.ops.conv import conv3d, moment_stats
 
 # Read once at import time: this flag is consulted at TRACE time inside
 # jitted model code, so mutating the env var after programs are compiled
@@ -283,9 +283,8 @@ def group_instance_norm_packed(x_packed: jnp.ndarray, channels: int,
     n, h, w, d, c4 = x_packed.shape
     assert c4 == 4 * channels
     x32 = x_packed.astype(jnp.float32).reshape(n, h, w, d, channels, 4)
-    mean = jnp.mean(x32, axis=(1, 2, 3, 5), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3, 5), keepdims=True)
-    out = (x32 - mean) * (1.0 / jnp.sqrt(var + eps))
+    mean, rstd = moment_stats(x32, (1, 2, 3, 5), eps)
+    out = (x32 - mean) * rstd
     return out.reshape(n, h, w, d, c4).astype(x_packed.dtype)
 
 
@@ -481,9 +480,8 @@ def group_instance_norm_folded(xf: jnp.ndarray, channels: int,
     assert c4 == 4 * channels
     d = nd // n_volumes
     x32 = xf.astype(jnp.float32).reshape(n_volumes, d, h, w, channels, 4)
-    mean = jnp.mean(x32, axis=(1, 2, 3, 5), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3, 5), keepdims=True)
-    out = (x32 - mean) * (1.0 / jnp.sqrt(var + eps))
+    mean, rstd = moment_stats(x32, (1, 2, 3, 5), eps)
+    out = (x32 - mean) * rstd
     return out.reshape(nd, h, w, c4).astype(xf.dtype)
 
 
@@ -496,9 +494,8 @@ def instance_norm_folded(xf: jnp.ndarray, n_volumes: int = 1,
     nd, h, w, c = xf.shape
     d = nd // n_volumes
     x32 = xf.astype(jnp.float32).reshape(n_volumes, d, h, w, c)
-    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True)
-    out = (x32 - mean) * (1.0 / jnp.sqrt(var + eps))
+    mean, rstd = moment_stats(x32, (1, 2, 3), eps)
+    out = (x32 - mean) * rstd
     return out.reshape(nd, h, w, c).astype(xf.dtype)
 
 
