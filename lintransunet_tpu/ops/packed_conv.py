@@ -549,3 +549,141 @@ def packed_upsample_x2_folded(xf: jnp.ndarray, n_volumes: int = 1,
         # (2d, n, m) -> (n, 2d, m): leading-pair swap, then re-merge rows
         out = y.transpose(1, 0, 2).reshape(n_volumes * 2 * d, h, w, 4 * c)
     return out
+
+
+# --------------------------------------------------------------------------
+# PAIRED (8C) layout: depth pairs folded into channels on top of the folded
+# layout — (N*D/2, H2, W2, 8C), lane index = g*4C + (c*4 + a*2 + b) with
+# g = depth parity (g-MAJOR: the two depth sub-lanes are contiguous halves,
+# so boundary taps slice half-lanes without a lane shuffle).
+#
+# Why: at L0 the 4C lane width is 64, capping the stride-1 conv at the
+# K=N=64 MXU rate (~49 raw TF/s). In the paired layout the IN-PAIR part of
+# the 3x3x3 conv (depth taps delta in {-1, 0} for g_out=1 / {0, +1} for
+# g_out=0 — 2 of its 3 depth taps) is ONE dense (3, 3, 8C, 8O) 2D conv at
+# K=N=128, and only the two BOUNDARY depth taps run at 4C width. Total
+# inflation stays 4x (the spatial packing's), but 2/3 of the FLOPs move to
+# the full-width MXU rate.
+# --------------------------------------------------------------------------
+
+def fold_pairs(xf: jnp.ndarray, n_volumes: int = 1) -> jnp.ndarray:
+    """Folded packed (N*D, H2, W2, 4C) -> paired (N*D/2, H2, W2, 8C).
+
+    Rows (volume, depth) pair up as (volume, depth//2); parity g becomes
+    the MAJOR half of the lane dim. One real transpose — pay it once per
+    region."""
+    nd, h2, w2, c4 = xf.shape
+    d = nd // n_volumes
+    assert d % 2 == 0, "paired layout needs even depth"
+    x = xf.reshape(n_volumes * (d // 2), 2, h2, w2, c4)
+    x = x.transpose(0, 2, 3, 1, 4)
+    return x.reshape(n_volumes * (d // 2), h2, w2, 2 * c4)
+
+
+def unfold_pairs(x8: jnp.ndarray, n_volumes: int = 1) -> jnp.ndarray:
+    """Paired (N*D/2, H2, W2, 8C) -> folded packed (N*D, H2, W2, 4C)."""
+    ndp, h2, w2, c8 = x8.shape
+    x = x8.reshape(ndp, h2, w2, 2, c8 // 2)
+    x = x.transpose(0, 3, 1, 2, 4)
+    return x.reshape(ndp * 2, h2, w2, c8 // 2)
+
+
+def pair_kernel_stride1_jnp(packed_kernel: jnp.ndarray) -> jnp.ndarray:
+    """Dense pack (3, 3, 3, 4C, 4O) -> in-pair kernel (3, 3, 8C, 8O).
+
+    Block (g_in, g_out) holds the depth tap delta = g_in - g_out of the
+    packed kernel: [[kd=1, kd=0], [kd=2, kd=1]]."""
+    kp = packed_kernel
+    top = jnp.concatenate([kp[:, :, 1], kp[:, :, 0]], axis=-1)  # g_in = 0
+    bot = jnp.concatenate([kp[:, :, 2], kp[:, :, 1]], axis=-1)  # g_in = 1
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def packed_conv3d_stride1_paired(x8: jnp.ndarray, packed_kernel, bias=None,
+                                 n_volumes: int = 1) -> jnp.ndarray:
+    """packed_conv3d_stride1 on the PAIRED layout.
+
+    x8: (N*Dp, H2, W2, 8C); packed_kernel: (3, 3, 3, 4C, 4O) from
+    pack_kernel_stride1_jnp (the standard dense pack — the paired split is
+    derived from it here). Bit-identical function to
+    packed_conv3d_stride1_folded on the unfold_pairs view.
+    """
+    assert packed_kernel.shape[2] == 3, "paired path expects kd == 3"
+    kp = packed_kernel.astype(x8.dtype)
+    ndp, h2, w2, c8 = x8.shape
+    c4 = c8 // 2
+    dp = ndp // n_volumes
+    o4 = kp.shape[-1]
+
+    # in-pair: one dense K=N=8C conv (2 of 3 depth taps for every output)
+    y = jax.lax.conv_general_dilated(
+        x8, pair_kernel_stride1_jnp(kp), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # boundary taps: g_out=0 reads g=1 of pair r-1 (depth tap kd=0);
+    # g_out=1 reads g=0 of pair r+1 (depth tap kd=2). Row shifts are
+    # per-volume zero-padded leading-dim slices; the half-lane reads are
+    # contiguous (g-major).
+    x5 = x8.reshape(n_volumes, dp, h2, w2, c8)
+    prev_g1 = jnp.pad(x5[:, :-1, :, :, c4:],
+                      ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+    next_g0 = jnp.pad(x5[:, 1:, :, :, :c4],
+                      ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+    up = jax.lax.conv_general_dilated(
+        prev_g1.reshape(ndp, h2, w2, c4), kp[:, :, 0], (1, 1),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    dn = jax.lax.conv_general_dilated(
+        next_g0.reshape(ndp, h2, w2, c4), kp[:, :, 2], (1, 1),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + jnp.concatenate([up, dn], axis=-1)
+    if bias is not None:
+        b4 = bias.astype(y.dtype)
+        y = y + jnp.concatenate([b4, b4], axis=-1)
+    return y
+
+
+def packed_conv1x1_paired(x8: jnp.ndarray, packed_kernel,
+                          bias=None) -> jnp.ndarray:
+    """Pointwise conv on the paired layout.
+
+    packed_kernel: (1, 1, 1, 4C, 4O) from pack_kernel_1x1_jnp; the paired
+    kernel is block-diagonal over g."""
+    kp = packed_kernel.astype(x8.dtype)[:, :, 0]  # (1, 1, 4C, 4O)
+    c4, o4 = kp.shape[-2:]
+    z = jnp.zeros_like(kp)
+    k8 = jnp.concatenate([jnp.concatenate([kp, z], axis=-1),
+                          jnp.concatenate([z, kp], axis=-1)], axis=-2)
+    y = jax.lax.conv_general_dilated(
+        x8, k8, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        b4 = jnp.repeat(bias, 4).astype(y.dtype) if bias.shape[0] * 4 == o4 \
+            else bias.astype(y.dtype)
+        y = y + jnp.concatenate([b4, b4], axis=-1)
+    return y
+
+
+def group_instance_norm_paired(x8: jnp.ndarray, channels: int,
+                               n_volumes: int = 1,
+                               eps: float = 1e-5) -> jnp.ndarray:
+    """group_instance_norm_folded on the paired layout.
+
+    Stats per (volume, original channel) pool over (pair rows x spatial x
+    g x 4 sub-positions) — identical statistics to the folded op."""
+    ndp, h, w, c8 = x8.shape
+    assert c8 == 8 * channels
+    dp = ndp // n_volumes
+    x32 = x8.astype(jnp.float32).reshape(
+        n_volumes, dp, h, w, 2, channels, 4)
+    mean, rstd = moment_stats(x32, (1, 2, 3, 4, 6), eps)
+    out = (x32 - mean) * rstd
+    return out.reshape(ndp, h, w, c8).astype(x8.dtype)
+
+
+def packed_scale_paired(x8: jnp.ndarray, gate8: jnp.ndarray,
+                        channels: int) -> jnp.ndarray:
+    """Multiply paired (…, 8C) features by a paired (…, 8) 1-channel gate."""
+    shape = x8.shape
+    g = gate8.reshape(shape[:-1] + (2, 1, 4))
+    x = x8.reshape(shape[:-1] + (2, channels, 4))
+    return (x * g.astype(x.dtype)).reshape(shape)

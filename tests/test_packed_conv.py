@@ -371,3 +371,69 @@ def test_prepack_params_unpacked_model_noop(rng):
     ref = model.apply(variables, x, train=False)
     got = model.apply({"params": pp}, x, train=False)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+# ------------------------------------------------------- paired (8C) layout
+
+def test_fold_unfold_pairs_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2 * 6, 5, 4, 12)).astype(np.float32))
+    x8 = pc.fold_pairs(x, n_volumes=2)
+    assert x8.shape == (2 * 3, 5, 4, 24)
+    np.testing.assert_array_equal(np.asarray(pc.unfold_pairs(x8, 2)),
+                                  np.asarray(x))
+
+
+def test_paired_stride1_matches_folded(rng):
+    """packed_conv3d_stride1_paired == packed_conv3d_stride1_folded on the
+    same underlying tensor (multi-volume, odd channel counts)."""
+    n, d, h2, w2, c, o = 2, 6, 5, 4, 3, 2
+    x = jnp.asarray(rng.standard_normal((n * d, h2, w2, 4 * c))
+                    .astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((3, 3, 3, c, o))
+                         .astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((o,)).astype(np.float32))
+    kp = pc.pack_kernel_stride1_jnp(kernel)
+    bp = pc.pack_bias_jnp(bias)
+    ref = pc.packed_conv3d_stride1_folded(x, kp, bp, n_volumes=n)
+    got8 = pc.packed_conv3d_stride1_paired(
+        pc.fold_pairs(x, n), kp, bp, n_volumes=n)
+    np.testing.assert_allclose(np.asarray(pc.unfold_pairs(got8, n)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_paired_1x1_matches_folded(rng):
+    n, d, h2, w2, c, o = 1, 4, 3, 3, 2, 5
+    x = jnp.asarray(rng.standard_normal((n * d, h2, w2, 4 * c))
+                    .astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((1, 1, 1, c, o))
+                         .astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((o,)).astype(np.float32))
+    kp = pc.pack_kernel_1x1_jnp(kernel)
+    bp = pc.pack_bias_jnp(bias)
+    ref = pc.packed_conv1x1_folded(x, kp, bp)
+    got8 = pc.packed_conv1x1_paired(pc.fold_pairs(x, n), kp, bp)
+    np.testing.assert_allclose(np.asarray(pc.unfold_pairs(got8, n)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_paired_instance_norm_matches_folded(rng):
+    n, d, h2, w2, c = 2, 4, 5, 3, 3
+    x = jnp.asarray(rng.standard_normal((n * d, h2, w2, 4 * c))
+                    .astype(np.float32))
+    ref = pc.group_instance_norm_folded(x, c, n_volumes=n)
+    got8 = pc.group_instance_norm_paired(pc.fold_pairs(x, n), c, n_volumes=n)
+    np.testing.assert_allclose(np.asarray(pc.unfold_pairs(got8, n)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_paired_scale_matches_packed(rng):
+    n, d, h2, w2, c = 1, 4, 3, 3, 3
+    x = jnp.asarray(rng.standard_normal((n * d, h2, w2, 4 * c))
+                    .astype(np.float32))
+    gate = jnp.asarray(rng.standard_normal((n * d, h2, w2, 4))
+                       .astype(np.float32))
+    ref = pc.packed_scale(x, gate, c)
+    got8 = pc.packed_scale_paired(pc.fold_pairs(x, n),
+                                  pc.fold_pairs(gate, n), c)
+    np.testing.assert_allclose(np.asarray(pc.unfold_pairs(got8, n)),
+                               np.asarray(ref), rtol=1e-6, atol=1e-6)
