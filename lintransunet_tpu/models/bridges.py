@@ -101,10 +101,15 @@ class ROIBridge(nn.Module):
         x0, y0, x1, y1 = box[:, 0], box[:, 1], box[:, 3], box[:, 4]
 
         # Forward fisheye warp (roi_alignment2, Unet_3Dblock.py:985-1039).
-        gx = ops.transfer_index(x0, x1, h - 1, self.h_roi_size, self.eval_h_roi_size)
-        gy = ops.transfer_index(y0, y1, w - 1, self.w_roi_size, self.eval_w_roi_size)
+        # Pixel-unit grids: transfer_index normalises by h-1 and
+        # bilinear_weights(·, h) denormalises by h-1 — an exact round-trip
+        # skipped here (the pix coords ARE full-image pixels).
+        gx = ops.transfer_index_pix(x0, x1, h - 1, self.h_roi_size,
+                                    self.eval_h_roi_size)
+        gy = ops.transfer_index_pix(y0, y1, w - 1, self.w_roi_size,
+                                    self.eval_w_roi_size)
         roi = ops.separable_grid_sample_2d(
-            x, ops.bilinear_weights(gx, h), ops.bilinear_weights(gy, w))
+            x, ops.bilinear_weights_pix(gx, h), ops.bilinear_weights_pix(gy, w))
 
         roi = EmbedAttention3DBlock(
             in_dim=self.in_dim, d_model=self.d_model, nhead=self.nhead,
@@ -117,12 +122,19 @@ class ROIBridge(nn.Module):
         # the ROI's *actual* size (for odd eval sizes the embed round-trip
         # emits eval+1 rows; torch grid_sample normalises by the actual
         # tensor size, reproduced here).
-        bx = ops.transfer_back_index(x0, x1, h - 1, self.h_roi_size, self.eval_h_roi_size)
-        by = ops.transfer_back_index(y0, y1, w - 1, self.w_roi_size, self.eval_w_roi_size)
+        # Pixel-unit back grids: transfer_back normalises by eval_roi_size
+        # while grid_sample denormalises by the ROI's ACTUAL size, so the
+        # fused scale is (actual - 1) / eval (not an exact round-trip).
+        bx = ops.transfer_back_index_pix(
+            x0, x1, h - 1, self.h_roi_size, self.eval_h_roi_size
+        ) * ((roi.shape[1] - 1) / self.eval_h_roi_size)
+        by = ops.transfer_back_index_pix(
+            y0, y1, w - 1, self.w_roi_size, self.eval_w_roi_size
+        ) * ((roi.shape[2] - 1) / self.eval_w_roi_size)
         out = ops.separable_grid_sample_2d(
             roi,
-            ops.bilinear_weights(bx, roi.shape[1]),
-            ops.bilinear_weights(by, roi.shape[2]))
+            ops.bilinear_weights_pix(bx, roi.shape[1]),
+            ops.bilinear_weights_pix(by, roi.shape[2]))
         return out
 
 

@@ -12,8 +12,11 @@ from lintransunet_tpu.ops.resample import (
     solid_back_index,
     solid_transfer_index,
     transfer_index,
+    transfer_index_pix,
     transfer_back_index,
+    transfer_back_index_pix,
     bilinear_weights,
+    bilinear_weights_pix,
     separable_grid_sample_2d,
     resize_linear_align_corners,
     resize_nearest,
@@ -32,8 +35,11 @@ __all__ = [
     "transfer_index",
     "solid_transfer_index",
     "solid_back_index",
+    "transfer_index_pix",
     "transfer_back_index",
+    "transfer_back_index_pix",
     "bilinear_weights",
+    "bilinear_weights_pix",
     "separable_grid_sample_2d",
     "resize_linear_align_corners",
     "resize_nearest",

@@ -26,14 +26,12 @@ def _precision(dtype):
     return "highest" if dtype == jnp.float32 else None
 
 
-def transfer_index(x0, x1, h, roi_size: int, eval_roi_size: int) -> jnp.ndarray:
-    """Forward fisheye grid: full-image coords sampled for each ROI pixel.
+def transfer_index_pix(x0, x1, h, roi_size: int, eval_roi_size: int) -> jnp.ndarray:
+    """Forward fisheye grid in PIXEL units (full-image coords per ROI pixel).
 
-    Vectorised port of ``get_transfer_index`` (Unet_3Dblock.py:51-64).
-    x0, x1: (B,) box extents (float). h: scalar (H-1, "real distance").
-    Returns (B, eval_roi_size) normalised coords in [-1, 1] (align_corners).
-    Inside [x0, x1] the grid advances at slope k2 (zoomed-in, roi_size of the
-    output pixels span the box); outside at slope k1 (context, squeezed).
+    The [-1, 1] normalisation of ``transfer_index`` exists only to match
+    ``F.grid_sample``'s convention; ``bilinear_weights`` immediately undoes
+    it. The pixel form skips the round-trip (and its f32 rounding).
     """
     x0 = jnp.asarray(x0, jnp.float32).reshape(-1, 1)
     x1 = jnp.asarray(x1, jnp.float32).reshape(-1, 1)
@@ -45,15 +43,25 @@ def transfer_index(x0, x1, h, roi_size: int, eval_roi_size: int) -> jnp.ndarray:
     out = jnp.where(out <= x0, low, out)
     high = out * (k1 / k2) + x1 * (1 - k1 / k2)
     out = jnp.where(out >= x1, high, out)
-    return out * 2.0 / h - 1.0
+    return out
 
 
-def transfer_back_index(x0, x1, h, roi_size: int, eval_roi_size: int) -> jnp.ndarray:
-    """Inverse fisheye grid: ROI coords sampled for each full-image pixel.
+def transfer_index(x0, x1, h, roi_size: int, eval_roi_size: int) -> jnp.ndarray:
+    """Forward fisheye grid: full-image coords sampled for each ROI pixel.
 
-    Vectorised port of ``get_transfer_back_index`` (Unet_3Dblock.py:66-82).
-    Returns (B, h+1) normalised coords over the eval_roi_size axis.
+    Vectorised port of ``get_transfer_index`` (Unet_3Dblock.py:51-64).
+    x0, x1: (B,) box extents (float). h: scalar (H-1, "real distance").
+    Returns (B, eval_roi_size) normalised coords in [-1, 1] (align_corners).
+    Inside [x0, x1] the grid advances at slope k2 (zoomed-in, roi_size of the
+    output pixels span the box); outside at slope k1 (context, squeezed).
     """
+    return transfer_index_pix(x0, x1, h, roi_size, eval_roi_size) * 2.0 / h - 1.0
+
+
+def transfer_back_index_pix(x0, x1, h, roi_size: int,
+                            eval_roi_size: int) -> jnp.ndarray:
+    """Inverse fisheye grid in ROI-pixel units (over the eval_roi_size
+    scale; see transfer_back_index for the normalised form)."""
     x0 = jnp.asarray(x0, jnp.float32).reshape(-1, 1)
     x1 = jnp.asarray(x1, jnp.float32).reshape(-1, 1)
     idx = jnp.arange(int(h) + 1, dtype=jnp.float32)[None, :]
@@ -66,7 +74,17 @@ def transfer_back_index(x0, x1, h, roi_size: int, eval_roi_size: int) -> jnp.nda
     out = jnp.where(out <= p0, low, out)
     high = out * (k1 / k2) + p1 * (1 - k1 / k2)
     out = jnp.where(out >= p1, high, out)
-    return out * 2.0 / eval_roi_size - 1.0
+    return out
+
+
+def transfer_back_index(x0, x1, h, roi_size: int, eval_roi_size: int) -> jnp.ndarray:
+    """Inverse fisheye grid: ROI coords sampled for each full-image pixel.
+
+    Vectorised port of ``get_transfer_back_index`` (Unet_3Dblock.py:66-82).
+    Returns (B, h+1) normalised coords over the eval_roi_size axis.
+    """
+    return (transfer_back_index_pix(x0, x1, h, roi_size, eval_roi_size)
+            * 2.0 / eval_roi_size - 1.0)
 
 
 def solid_transfer_index(x0, x1, h, eval_roi_size: int) -> jnp.ndarray:
@@ -98,17 +116,22 @@ def solid_back_index(x0, x1, h, eval_roi_size: int) -> jnp.ndarray:
     return out * 2.0 / (eval_roi_size - 1) - 1.0
 
 
-def bilinear_weights(coords: jnp.ndarray, in_size: int) -> jnp.ndarray:
-    """(B, M) normalised align_corners coords -> (B, M, in_size) tent weights.
+def bilinear_weights_pix(pix: jnp.ndarray, in_size: int) -> jnp.ndarray:
+    """(B, M) PIXEL coords -> (B, M, in_size) tent weights.
 
     Row i holds the bilinear interpolation weights of output sample i over
     the input axis. Out-of-range samples get all-zero rows (== grid_sample
     padding_mode='zeros'); partially-out-of-range samples keep only the
     in-bounds neighbour's weight, exactly like torch.
     """
-    pix = (coords.astype(jnp.float32) + 1.0) * 0.5 * (in_size - 1)
     grid = jnp.arange(in_size, dtype=jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(pix[..., None] - grid))
+
+
+def bilinear_weights(coords: jnp.ndarray, in_size: int) -> jnp.ndarray:
+    """(B, M) normalised align_corners coords -> (B, M, in_size) tent weights."""
+    pix = (coords.astype(jnp.float32) + 1.0) * 0.5 * (in_size - 1)
+    return bilinear_weights_pix(pix, in_size)
 
 
 def separable_grid_sample_2d(
