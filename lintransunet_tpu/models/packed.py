@@ -22,13 +22,14 @@ from lintransunet_tpu.ops import packed_conv as pc
 
 Array = jnp.ndarray
 
-# When set (a list), every PackedConv traced appends (path, mode, folded) —
+# When set (a list), every PackedConv traced appends (path, kind) with kind
+# the kernel-transform it will apply ('dense' | 'sheared' | 's2' | '1x1') —
 # used by prepack_plan to enumerate the kernels prepack_params must transform.
 _PREPACK_CAPTURE = None
 
 
 def prepack_plan(model, example, train: bool = False):
-    """Abstract-trace ``model``; list every PackedConv as (path, mode, folded).
+    """Abstract-trace ``model``; list every PackedConv as (path, kind).
 
     Runs under jax.eval_shape — no FLOPs, no device memory. ``example`` may
     be a jax.ShapeDtypeStruct."""
@@ -62,28 +63,22 @@ def prepack_params(model, params, example, plan=None):
     the optimiser must keep training on raw kernels.
     """
     plan = plan if plan is not None else prepack_plan(model, example)
+    packers = {
+        "dense": pc.pack_kernel_stride1_jnp,
+        "sheared": pc.pack_kernel_stride1_sheared_jnp,
+        "s2": pc.pack_kernel_stride2_jnp,
+        "1x1": pc.pack_kernel_1x1_jnp,
+    }
 
     # one jitted call (not eager per-op dispatches — the axon tunnel costs
     # ~30 ms per host round-trip, and the pack transforms are many small ops)
     def transform(p):
         p = _mutable_tree(p)
-        for path, mode, folded in plan:
+        for path, kind in plan:
             node = p
             for name in path:
                 node = node[name]
-            kernel = node["kernel"]
-            if mode == "s1":
-                c4 = 4 * kernel.shape[3]
-                # the sheared formulation (and its kernel layout) exists only
-                # on the folded path; packed-5D always takes the dense pack
-                if folded and pc.resolve_s1_formulation(c4) == "sheared":
-                    node["kernel"] = pc.pack_kernel_stride1_sheared_jnp(kernel)
-                else:
-                    node["kernel"] = pc.pack_kernel_stride1_jnp(kernel)
-            elif mode == "s2":
-                node["kernel"] = pc.pack_kernel_stride2_jnp(kernel)
-            else:
-                node["kernel"] = pc.pack_kernel_1x1_jnp(kernel)
+            node["kernel"] = packers[kind](node["kernel"])
         return p
 
     return jax.jit(transform)(params)
@@ -106,13 +101,20 @@ class PackedConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, xp: Array, n_volumes: Optional[int] = None) -> Array:
+    def __call__(self, xp: Array, n_volumes: Optional[int] = None,
+                 paired: bool = False) -> Array:
         """``n_volumes=None``: packed 5D layout (N, H2, W2, D, 4C).
         ``n_volumes=n``: FOLDED layout (n*D, H2, W2, 4C) — same params, the
-        transpose-free ops from ops/packed_conv.py."""
+        transpose-free ops from ops/packed_conv.py. ``paired=True`` (folded
+        only): the 8C depth-pair layout (n*D/2, H2, W2, 8C); s2 convs must
+        take the folded layout (the strided output leaves the pair grid)."""
+        use_sheared = (
+            self.mode == "s1" and n_volumes is not None and not paired
+            and pc.resolve_s1_formulation(4 * self.in_features) == "sheared")
+        kind = ("s2" if self.mode == "s2" else "1x1" if self.mode == "1x1"
+                else "sheared" if use_sheared else "dense")
         if _PREPACK_CAPTURE is not None:
-            _PREPACK_CAPTURE.append(
-                (self.scope.path, self.mode, n_volumes is not None))
+            _PREPACK_CAPTURE.append((self.scope.path, kind))
         k = 1 if self.mode == "1x1" else self.kernel_size
         if self.is_initializing() or not self.has_variable("params", "kernel"):
             kernel = self.param(
@@ -129,29 +131,40 @@ class PackedConv(nn.Module):
         # (2,2,3,4C,4O); s2 packed (2,2,kd,4C,O).
         pre_dense = kernel.shape[3] == 4 * self.in_features and kernel.shape[0] != 2
         pre_sheared = self.mode != "s2" and kernel.shape[0] == 2
+        assert not (paired and n_volumes is None), \
+            "paired layout requires the folded regime"
         if self.mode == "s1":
             bp = pc.pack_bias_jnp(bias)
             if n_volumes is not None:
-                f = pc.resolve_s1_formulation(4 * self.in_features)
-                if f == "sheared" or pre_sheared:
+                if use_sheared or pre_sheared:
                     assert pre_sheared or not pre_dense, (
                         "sheared formulation requested but kernel was "
                         "pre-packed dense — rerun prepack_params under the "
                         "same LINTRANSUNET_FOLDED_S1 setting")
+                    assert not paired, \
+                        "sheared formulation is undefined on the paired layout"
                     ks = (kernel if pre_sheared
                           else pc.pack_kernel_stride1_sheared_jnp(kernel))
                     return pc.packed_conv3d_stride1_sheared_folded(
                         xp, ks.astype(xp.dtype), bp.astype(xp.dtype),
                         n_volumes=n_volumes)
                 kp = kernel if pre_dense else pc.pack_kernel_stride1_jnp(kernel)
+                if paired:
+                    return pc.packed_conv3d_stride1_paired(
+                        xp, kp.astype(xp.dtype), bp.astype(xp.dtype),
+                        n_volumes=n_volumes)
                 return pc.packed_conv3d_stride1_folded(
                     xp, kp.astype(xp.dtype), bp.astype(xp.dtype),
-                    n_volumes=n_volumes, formulation=f)
+                    n_volumes=n_volumes,
+                    formulation=pc.resolve_s1_formulation(
+                        4 * self.in_features))
             kp = kernel if pre_dense else pc.pack_kernel_stride1_jnp(kernel)
             return pc.packed_conv3d_stride1(
                 xp, kp.astype(xp.dtype), bp.astype(xp.dtype),
                 kd_pad=self.kernel_size // 2)
         if self.mode == "s2":
+            assert not paired, \
+                "stride-2 conv leaves the pair grid; unfold_pairs first"
             kp = (kernel if kernel.shape[0] == 2
                   else pc.pack_kernel_stride2_jnp(kernel))
             if n_volumes is not None:
@@ -164,6 +177,9 @@ class PackedConv(nn.Module):
                 z_stride=self.z_stride, kd_pad=self.kernel_size // 2)
         kp = kernel if pre_dense else pc.pack_kernel_1x1_jnp(kernel)
         bp = pc.pack_bias_jnp(bias)
+        if paired:
+            return pc.packed_conv1x1_paired(xp, kp.astype(xp.dtype),
+                                            bp.astype(xp.dtype))
         if n_volumes is not None:
             return pc.packed_conv1x1_folded(xp, kp.astype(xp.dtype),
                                             bp.astype(xp.dtype))
@@ -189,11 +205,14 @@ class PackedDownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, xp: Array, train: bool = False,
-                 n_volumes: Optional[int] = None):
+                 n_volumes: Optional[int] = None, paired: bool = False):
         y = PackedConv(self.in_channels, self.in_channels, mode="s1",
                        kernel_size=self.kernel_size, dtype=self.dtype,
-                       name="conv1")(xp, n_volumes=n_volumes)
-        if n_volumes is not None:
+                       name="conv1")(xp, n_volumes=n_volumes, paired=paired)
+        if paired:
+            y = ops.leaky_relu(pc.group_instance_norm_paired(
+                y, self.in_channels, n_volumes=n_volumes))
+        elif n_volumes is not None:
             y = ops.leaky_relu(pc.group_instance_norm_folded(
                 y, self.in_channels, n_volumes=n_volumes))
         else:
@@ -201,10 +220,13 @@ class PackedDownBlock(nn.Module):
                 pc.group_instance_norm_packed(y, self.in_channels))
         if self.is_res:
             y = y + xp
+        # the strided downsample's output leaves the pair grid (its depth
+        # stride re-phases rows): run it on the folded layout
+        y_s2 = pc.unfold_pairs(y, n_volumes) if paired else y
         z = PackedConv(self.out_channels, self.in_channels, mode="s2",
                        z_stride=self.z_stride,
                        kernel_size=self.kernel_size, dtype=self.dtype,
-                       name="conv2")(y, n_volumes=n_volumes)
+                       name="conv2")(y_s2, n_volumes=n_volumes)
         if n_volumes is not None:
             z = ops.leaky_relu(pc.instance_norm_folded(z, n_volumes=n_volumes))
         else:
@@ -229,8 +251,12 @@ class PackedUpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, xp: Array, skip_p: Array, train: bool = False,
-                 n_volumes: Optional[int] = None) -> Array:
+                 n_volumes: Optional[int] = None,
+                 paired: bool = False) -> Array:
         def norm(t):
+            if paired:
+                return pc.group_instance_norm_paired(
+                    t, self.out_channels, n_volumes=n_volumes)
             if n_volumes is not None:
                 return pc.group_instance_norm_folded(
                     t, self.out_channels, n_volumes=n_volumes)
@@ -238,12 +264,13 @@ class PackedUpBlock(nn.Module):
 
         x = PackedConv(self.out_channels, self.in_channels, mode="s1",
                        kernel_size=self.kernel_size, dtype=self.dtype,
-                       name="conv1")(xp, n_volumes=n_volumes)
+                       name="conv1")(xp, n_volumes=n_volumes, paired=paired)
         x = ops.leaky_relu(norm(x))
-        x = jnp.concatenate([x, skip_p], axis=-1)
+        x = (pc.concat_paired(x, skip_p) if paired
+             else jnp.concatenate([x, skip_p], axis=-1))
         x = PackedConv(self.out_channels, 2 * self.out_channels, mode="s1",
                        kernel_size=self.kernel_size, dtype=self.dtype,
-                       name="conv2")(x, n_volumes=n_volumes)
+                       name="conv2")(x, n_volumes=n_volumes, paired=paired)
         x = ops.leaky_relu(norm(x))
         if self.dropout is not None:
             x = nn.Dropout(self.dropout)(x, deterministic=not train)
@@ -261,24 +288,28 @@ class PackedSpatialAttentionGate(nn.Module):
 
     @nn.compact
     def __call__(self, skip_p: Array, up_p: Array,
-                 n_volumes: Optional[int] = None) -> Array:
+                 n_volumes: Optional[int] = None,
+                 paired: bool = False) -> Array:
         def norm(t):
+            if paired:
+                return pc.group_instance_norm_paired(
+                    t, self.inter_channel, n_volumes=n_volumes)
             if n_volumes is not None:
                 return pc.group_instance_norm_folded(
                     t, self.inter_channel, n_volumes=n_volumes)
             return pc.group_instance_norm_packed(t, self.inter_channel)
 
         xs = PackedConv(self.inter_channel, self.in_channel1, mode="1x1",
-                        dtype=self.dtype, name="W_x_0")(skip_p,
-                                                        n_volumes=n_volumes)
+                        dtype=self.dtype, name="W_x_0")(
+                            skip_p, n_volumes=n_volumes, paired=paired)
         xs = norm(xs)
         gs = PackedConv(self.inter_channel, self.in_channel2, mode="1x1",
-                        dtype=self.dtype, name="W_g_0")(up_p,
-                                                        n_volumes=n_volumes)
+                        dtype=self.dtype, name="W_g_0")(
+                            up_p, n_volumes=n_volumes, paired=paired)
         gs = norm(gs)
         a = nn.relu(xs + gs)
         a = PackedConv(1, self.inter_channel, mode="1x1", dtype=self.dtype,
-                       name="psi_0")(a, n_volumes=n_volumes)
+                       name="psi_0")(a, n_volumes=n_volumes, paired=paired)
         return nn.sigmoid(a)
 
 

@@ -190,6 +190,7 @@ class MaskTransUnet(nn.Module):
     dropout: float = 0.3
     packed_levels: int = 0
     folded: Optional[bool] = None
+    paired: Optional[bool] = None
     n_layers: int = 8
     dtype: Optional[jnp.dtype] = None
 
@@ -210,7 +211,7 @@ class MaskTransUnet(nn.Module):
         bottle, skips = Encoder(self.num_layers, self.dim_input,
                                 self.kernel_size, self.dropout,
                                 packed_levels=self.packed_levels,
-                                folded=folded,
+                                folded=folded, paired=self.paired,
                                 dtype=self.dtype, name="encode")(x, train=train)
         out, mask_list = ROIDecoder(
             num_layers=self.num_layers,
@@ -220,6 +221,7 @@ class MaskTransUnet(nn.Module):
             dropout=self.dropout,
             packed_levels=self.packed_levels,
             folded=folded,
+            paired=self.paired,
             n_layers=self.n_layers,
             # eval branch one-hots the argmax, which softmax cannot change —
             # skip the full-resolution f32 softmax there

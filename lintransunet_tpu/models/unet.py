@@ -26,6 +26,14 @@ def encoder_stride(i: int) -> Tuple[int, int, int]:
     return (2, 2, (i - 1) % 2 + 1)
 
 
+def _use_paired(paired_flag: bool, folded: bool, channels: int) -> bool:
+    """A packed level runs in the PAIRED (8C) layout iff its 4C lane width
+    is below the MXU's K=128 — the pairing exists to fill the contraction
+    dim. Must be applied identically on the encoder and decoder sides so
+    skips arrive in the layout the decoder level expects."""
+    return paired_flag and folded and 4 * channels <= 64
+
+
 def decoder_scale(n_levels: int, i: int) -> Tuple[int, int, int]:
     """Upsample factor at decoder step i (1-based), Unet_3Dblock.py:1375-1378."""
     return (2, 2, 2) if (n_levels - i) % 2 == 0 else (2, 2, 1)
@@ -45,6 +53,7 @@ class Encoder(nn.Module):
     emb_window: int = 2
     packed_levels: int = 0
     folded: Optional[bool] = None
+    paired: Optional[bool] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -60,6 +69,8 @@ class Encoder(nn.Module):
                 f"levels with window embedding {self.emb_window}")
         folded = (pc.FOLDED_LAYOUT_DEFAULT if self.folded is None
                   else self.folded)
+        paired_flag = (pc.PAIRED_LAYOUT_DEFAULT if self.paired is None
+                       else self.paired)
         nv = n if folded else None
         x = ops.windows_embedding(x, self.emb_window)
         skips = []
@@ -70,16 +81,22 @@ class Encoder(nn.Module):
             # packed levels stay packed for the packed decoder levels.
             # In the folded regime the ONE real transpose of the whole
             # packed region happens here, on the thinnest tensor.
+            p0 = _use_paired(paired_flag, folded, self.num_layers[0])
             if folded:
                 xp = pc.pack_folded(pc.fold_depth(x))
+                if p0:
+                    xp = pc.fold_pairs(xp, n)
             else:
                 xp = pk.pack(x)
             xp = pk.PackedConv(self.num_layers[0],
                                self.dim_input * self.emb_window ** 2,
                                mode="s1", kernel_size=self.kernel_size,
                                dtype=self.dtype, name="input_block")(
-                                   xp, n_volumes=nv)
-            if folded:
+                                   xp, n_volumes=nv, paired=p0)
+            if p0:
+                xp = ops.leaky_relu(pc.group_instance_norm_paired(
+                    xp, self.num_layers[0], n_volumes=n))
+            elif folded:
                 xp = ops.leaky_relu(pc.group_instance_norm_folded(
                     xp, self.num_layers[0], n_volumes=n))
             else:
@@ -100,10 +117,15 @@ class Encoder(nn.Module):
                     z_stride=encoder_stride(i)[2],
                     dropout=self.dropout,
                     dtype=self.dtype,
-                    name=f"block_list_{i - 1}")(xp, train=train, n_volumes=nv)
+                    name=f"block_list_{i - 1}")(
+                        xp, train=train, n_volumes=nv,
+                        paired=_use_paired(paired_flag, folded,
+                                           self.num_layers[i - 1]))
                 skips.append(skip_p)
                 if i < p_levels:
                     xp = pc.pack_folded(x) if folded else pk.pack(x)
+                    if _use_paired(paired_flag, folded, self.num_layers[i]):
+                        xp = pc.fold_pairs(xp, n)
                 elif folded:
                     # crossing into the unpacked levels: unfold once
                     x = pc.unfold_depth(x, n)
@@ -180,6 +202,7 @@ class ROIDecoder(nn.Module):
     emb_window: int = 2
     packed_levels: int = 0
     folded: Optional[bool] = None
+    paired: Optional[bool] = None
     apply_softmax: bool = True
     return_packed_logits: bool = False
     dtype: Optional[jnp.dtype] = None
@@ -191,6 +214,8 @@ class ROIDecoder(nn.Module):
         mask_list = []
         folded = (pc.FOLDED_LAYOUT_DEFAULT if self.folded is None
                   else self.folded)
+        paired_flag = (pc.PAIRED_LAYOUT_DEFAULT if self.paired is None
+                       else self.paired)
         n = None  # volume count, set on entering the packed levels
 
         for i in range(n_levels):
@@ -209,6 +234,7 @@ class ROIDecoder(nn.Module):
                 # upsample directly into the packed layout (no full-res
                 # unpacked intermediate)
                 z2 = decoder_scale(n_levels, i)[2] == 2
+                lvl_paired = _use_paired(paired_flag, folded, layers[level])
                 if folded:
                     if n is None:
                         # first packed level: x arrives unpacked 5D from the
@@ -216,11 +242,16 @@ class ROIDecoder(nn.Module):
                         n = x.shape[0]
                         x = pc.fold_depth(x)
                     xp = pc.packed_upsample_x2_folded(x, n_volumes=n, z2=z2)
+                    if lvl_paired:
+                        xp = pc.fold_pairs(xp, n)
                 else:
                     xp = pc.packed_upsample_x2(x, z2=z2)
                 x = self._packed_level(xp, encoded_list[-i], level, i,
-                                       mask_list, train, n_volumes=n)
+                                       mask_list, train, n_volumes=n,
+                                       paired=lvl_paired)
                 if level > 0:
+                    if lvl_paired:
+                        x = pc.unfold_pairs(x, n)
                     x = pc.unpack_folded(x) if folded else pk.unpack(x)
                 continue
 
@@ -267,10 +298,15 @@ class ROIDecoder(nn.Module):
 
         if min(self.packed_levels, n_levels - 2) > 0:
             # only when level 0 actually ran packed (x is still packed here)
+            lvl0_paired = _use_paired(paired_flag, folded, layers[0])
             x = pk.PackedConv(self.dim_output * self.emb_window ** 2,
                               layers[0], mode="s1",
                               kernel_size=self.kernel_size, dtype=self.dtype,
-                              name="final_block")(x, n_volumes=n)
+                              name="final_block")(x, n_volumes=n,
+                                                  paired=lvl0_paired)
+            if lvl0_paired:
+                # back to the folded layout for the (unchanged) epilogue
+                x = pc.unfold_pairs(x, n)
             if self.return_packed_logits and not self.apply_softmax:
                 # eval fast path: the caller computes the one-hot argmax in
                 # the packed layout (models.registry.packed_one_hot_argmax2)
@@ -295,7 +331,8 @@ class ROIDecoder(nn.Module):
 
     def _packed_level(self, xp: Array, skip_p: Array, level: int, i: int,
                       mask_list, train: bool,
-                      n_volumes: Optional[int] = None) -> Array:
+                      n_volumes: Optional[int] = None,
+                      paired: bool = False) -> Array:
         """Decoder level on the packed layout (same math, measured ~3x).
 
         ``xp`` arrives PACKED (packed_upsample_x2 output); ``skip_p`` arrives
@@ -306,6 +343,7 @@ class ROIDecoder(nn.Module):
         ``n_volumes`` set => FOLDED regime: xp/skip_p are (N*D, H2, W2, 4C)
         and the level is transpose-free except the mask unfold (tiny) and
         the ROIBridge crossing (the bridge is inherently 5D).
+        ``paired`` => the 8C depth-pair layout on top (narrow levels).
         """
         layers = list(self.num_layers)
         nv = n_volumes
@@ -314,11 +352,14 @@ class ROIDecoder(nn.Module):
         mask_p = pk.PackedConv(self.dim_output, layers[level + 1], mode="s1",
                                kernel_size=self.kernel_size, dtype=self.dtype,
                                name=f"mask_conv_list_{level}")(
-                                   xp, n_volumes=nv)
+                                   xp, n_volumes=nv, paired=paired)
         shape = mask_p.shape
-        grouped = mask_p.reshape(shape[:-1] + (self.dim_output, 4))
+        sub = (2, self.dim_output, 4) if paired else (self.dim_output, 4)
+        grouped = mask_p.reshape(shape[:-1] + sub)
         grouped = nn.softmax(grouped.astype(jnp.float32), axis=-2)
         grouped = grouped.reshape(shape).astype(jnp.float32)
+        if paired:
+            grouped = pc.unfold_pairs(grouped, nv)
         if folded:
             mask = pc.unfold_depth(pc.unpack_folded(grouped), nv)
         else:
@@ -328,17 +369,23 @@ class ROIDecoder(nn.Module):
         gate_p = pk.PackedSpatialAttentionGate(
             in_channel1=layers[level], in_channel2=layers[level + 1],
             inter_channel=layers[level], dtype=self.dtype,
-            name=f"att_conv_list_{level}")(skip_p, xp, n_volumes=nv)
-        skip_p = pc.packed_scale(skip_p, gate_p.astype(skip_p.dtype),
-                                 layers[level])
+            name=f"att_conv_list_{level}")(skip_p, xp, n_volumes=nv,
+                                           paired=paired)
+        if paired:
+            skip_p = pc.packed_scale_paired(
+                skip_p, gate_p.astype(skip_p.dtype), layers[level])
+        else:
+            skip_p = pc.packed_scale(skip_p, gate_p.astype(skip_p.dtype),
+                                     layers[level])
 
         if self.is_roi_list[level]:
             d_model = min(4 * layers[level], 256)
             foreground = (1.0 - mask[..., 0:1]).astype(skip_p.dtype)
+            skip_p4 = pc.unfold_pairs(skip_p, nv) if paired else skip_p
             if folded:
-                skip_5d = pc.unfold_depth(pc.unpack_folded(skip_p), nv)
+                skip_5d = pc.unfold_depth(pc.unpack_folded(skip_p4), nv)
             else:
-                skip_5d = pk.unpack(skip_p)
+                skip_5d = pk.unpack(skip_p4)
             bridged = ROIBridge(
                 in_dim=layers[level], d_model=d_model, nhead=d_model // 32,
                 dropout=self.dropout, n_layers=self.n_layers,
@@ -347,6 +394,8 @@ class ROIDecoder(nn.Module):
                                              train=train)
             if folded:
                 bridged = pc.pack_folded(pc.fold_depth(bridged))
+                if paired:
+                    bridged = pc.fold_pairs(bridged, nv)
             else:
                 bridged = pk.pack(bridged)
         else:
@@ -357,7 +406,7 @@ class ROIDecoder(nn.Module):
             kernel_size=self.kernel_size, dropout=self.dropout,
             dtype=self.dtype,
             name=f"block_list_{i - 1}")(xp, bridged, train=train,
-                                        n_volumes=nv)
+                                        n_volumes=nv, paired=paired)
 
 
 class MaskDecoder(nn.Module):

@@ -48,6 +48,12 @@ FOLDED_S1_FORMULATION = os.environ.get("LINTRANSUNET_FOLDED_S1", "auto")
 # Frozen at import (trace-time flag).
 FOLDED_LAYOUT_DEFAULT = os.environ.get("LINTRANSUNET_FOLDED", "1") != "0"
 
+# Whether narrow packed levels (4C <= 64) additionally run in the PAIRED
+# (8C depth-pair) layout — see the paired op section below. Default OFF
+# pending the TPU A/B (experiments/paired_chain_bench.py). Frozen at
+# import (trace-time flag).
+PAIRED_LAYOUT_DEFAULT = os.environ.get("LINTRANSUNET_PAIRED", "0") != "0"
+
 
 def resolve_s1_formulation(c4: int, formulation: str = None) -> str:
     """Resolve the folded stride-1 formulation for a 4C-lane conv.
@@ -687,3 +693,13 @@ def packed_scale_paired(x8: jnp.ndarray, gate8: jnp.ndarray,
     g = gate8.reshape(shape[:-1] + (2, 1, 4))
     x = x8.reshape(shape[:-1] + (2, channels, 4))
     return (x * g.astype(x.dtype)).reshape(shape)
+
+
+def concat_paired(a8: jnp.ndarray, b8: jnp.ndarray) -> jnp.ndarray:
+    """Channel-concat two paired tensors (lane order g*4C + c*4 + ab).
+
+    A naive lane concat would interleave the g halves wrongly; the paired
+    concat stitches per-g halves: [a_g0 | b_g0 | a_g1 | b_g1]."""
+    ca, cb = a8.shape[-1] // 2, b8.shape[-1] // 2
+    return jnp.concatenate(
+        [a8[..., :ca], b8[..., :cb], a8[..., ca:], b8[..., cb:]], axis=-1)

@@ -340,7 +340,8 @@ def test_prepack_params_equivalence(rng, folded):
 
     # plan from an abstract example (no device memory)
     plan = prepack_plan(model, jax.ShapeDtypeStruct(x.shape, x.dtype))
-    assert plan and all(m in ("s1", "s2", "1x1") for _, m, _ in plan)
+    assert plan and all(
+        k in ("dense", "sheared", "s2", "1x1") for _, k in plan)
     pp = prepack_params(model, variables["params"], None, plan=plan)
 
     ref, ref_masks = model.apply(variables, x, train=False, return_aux=True)
@@ -437,3 +438,57 @@ def test_paired_scale_matches_packed(rng):
                                   pc.fold_pairs(gate, n), c)
     np.testing.assert_allclose(np.asarray(pc.unfold_pairs(got8, n)),
                                np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("prepacked", [False, True])
+def test_paired_model_matches_folded(rng, prepacked):
+    """paired=True must compute the same function with the same params as
+    the folded path (both branches, ROI bridges at the packed levels,
+    batch > 1), including composed with prepack_params."""
+    import jax
+
+    from lintransunet_tpu.models import (MaskTransUnet, prepack_params,
+                                         prepack_plan)
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(6, 6, 4),
+              is_roi_list=(True, True, True), dim_input=1, dim_output=2,
+              packed_levels=2, folded=True)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 4, 1)).astype(np.float32))
+    base = MaskTransUnet(**kw, paired=False)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    ref_out, ref_masks = base.apply(variables, x, train=False,
+                                    return_aux=True)
+
+    fast = MaskTransUnet(**kw, paired=True)
+    params = variables["params"]
+    if prepacked:
+        params = prepack_params(
+            fast, params, None,
+            plan=prepack_plan(fast, jax.ShapeDtypeStruct(x.shape, x.dtype)))
+    got_out, got_masks = fast.apply({"params": params}, x, train=False,
+                                    return_aux=True)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-5)
+    for g, r in zip(got_masks, ref_masks):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_paired_eval_branch(rng):
+    """The paired eval epilogue path must equal the argmax of the paired
+    model's own probabilities."""
+    import jax
+
+    from lintransunet_tpu.models import MaskTransUnet
+    from lintransunet_tpu.models.registry import one_hot_argmax
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(8, 6, 4),
+              is_roi_list=(False, True, True), dim_input=1, dim_output=2,
+              packed_levels=2, folded=True, paired=True)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 4, 1)).astype(np.float32))
+    fast = MaskTransUnet(**kw)
+    variables = fast.init(jax.random.PRNGKey(0), x, train=False)
+    probs, _ = fast.apply(variables, x, train=False, return_aux=True)
+    got = fast.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(one_hot_argmax(probs)))
