@@ -25,6 +25,11 @@ def main():
     parser.add_argument("--quick", action="store_true",
                         help="tiny CPU-safe smoke configuration")
     parser.add_argument("--volume_depth", type=int, default=144)
+    parser.add_argument("--roi_depth", type=int, default=64,
+                        help="window depth: 64 = the eval-loop geometry "
+                             "(utils_3D_embed_full.py:135), 32 = the "
+                             "inference-CLI geometry "
+                             "(inference_embed_attn.py:98,141)")
     parser.add_argument("--runs", type=int, default=3)
     parser.add_argument("--sw_batch", type=int, default=1)
     parser.add_argument("--chunk_bucket", type=int, default=1,
@@ -61,7 +66,7 @@ def main():
             is_roi_list=(False, True, True, True, True),
             dim_input=1, dim_output=2, packed_levels=2, dtype=jnp.bfloat16)
         vol_shape = (1, 512, 512, args.volume_depth, 1)
-        roi = (512, 512, 64)
+        roi = (512, 512, args.roi_depth)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(0)
