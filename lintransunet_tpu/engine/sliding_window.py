@@ -20,6 +20,7 @@ blending). TPU-first design:
 
 import functools
 import math
+import os
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -27,6 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 
 Array = jnp.ndarray
+
+# Unroll factor of the window scan (trace-time). >1 lets XLA overlap window
+# i+1's canvas slice with window i's forward at the cost of program size;
+# measured no-win at the default window geometry, kept as an A/B knob.
+SCAN_UNROLL = int(os.environ.get("LINTRANSUNET_SCAN_UNROLL", "1"))
 
 
 def scan_interval(image_size: Sequence[int], roi_size: Sequence[int],
@@ -202,7 +208,8 @@ def sliding_window_inference(
         return canvas, None
 
     canvas = jnp.zeros((n, h, w, d, out_channels), jnp.float32)
-    canvas, _ = jax.lax.scan(body, canvas, (starts_j, weights_j))
+    canvas, _ = jax.lax.scan(body, canvas, (starts_j, weights_j),
+                             unroll=min(SCAN_UNROLL, n_chunks))
     out = canvas / norm_c
 
     if any(p != (0, 0) for p in pads):
