@@ -41,6 +41,12 @@ def capture(outdir, fused):
     x = jnp.asarray(rng.standard_normal((1,) + roi + (1,)), jnp.bfloat16)
     params = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), x, train=False))()["params"]
+    # profile the SHIPPING path: serving params are prepacked (bench.py,
+    # inference CLIs) — without this the trace shows ~12 ms/window of
+    # in-graph kernel pack transforms that production no longer pays
+    from lintransunet_tpu.models import prepack_params
+
+    params = prepack_params(model, params, x)
     fwd = jax.jit(make_eval_forward(model))
 
     def run():
