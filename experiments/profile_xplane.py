@@ -21,7 +21,7 @@ from collections import defaultdict
 sys.path.insert(0, "/root/repo")
 
 
-def capture(outdir, fused):
+def capture(outdir, fused, train=False):
     os.environ["LINTRANSUNET_FUSED_STACK"] = str(fused)
     import jax
     import jax.numpy as jnp
@@ -36,6 +36,8 @@ def capture(outdir, fused):
         roi_size_list=(100, 65, 40, 25, 10),
         is_roi_list=(False, True, True, True, True),
         dim_input=1, dim_output=2, packed_levels=2, dtype=jnp.bfloat16)
+    if train:
+        return _capture_train(outdir, model)
     roi = (512, 512, 64)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((1,) + roi + (1,)), jnp.bfloat16)
@@ -57,6 +59,50 @@ def capture(outdir, fused):
     with jax.profiler.trace(outdir):
         for _ in range(3):
             run()
+
+
+def _capture_train(outdir, model):
+    """Trace one full training step (512x512x32 patch, deep supervision,
+    AdamW) — the bench.py --train configuration."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lintransunet_tpu import engine
+    from lintransunet_tpu.cli.common import get_criterion_list
+    from lintransunet_tpu.engine.schedule import get_dynamic_weight
+    from lintransunet_tpu.losses import binary as loss_module
+
+    shape = (1, 512, 512, 32, 1)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+    lbl = np.zeros(shape[:4], np.int32)
+    lbl[:, 200:320, 220:300, 8:24] = 1
+    labels = jnp.asarray(lbl)
+    state = engine.create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros(shape, jnp.bfloat16),
+        learning_rate=1e-4)
+    criterions, _ = get_criterion_list(
+        5, ["CrossEntroLoss", "DiceClassLoss"], loss_module)
+    step_fn = engine.make_train_step(model, criterions)
+    dyn_w = jnp.asarray(get_dynamic_weight(
+        epochs=1, T=12.0, warmup_step=10,
+        weight_list=(0.05, 0.05, 0.1, 0.1, 1.0),
+        initial_weight=(0.1, 0.2, 0.3, 0.4, 1.0),
+        final_weight=(2.0, 1.5, 1.0, 1.0, 1.0))[0], jnp.float32)
+
+    def run(state, i):
+        state, loss, _ = step_fn(state, images, labels, dyn_w,
+                                 jax.random.PRNGKey(i))
+        float(loss)
+        return state
+
+    print("compiling train step...", file=sys.stderr)
+    state = run(state, 1)
+    state = run(state, 2)
+    with jax.profiler.trace(outdir):
+        for i in range(3):
+            state = run(state, 3 + i)
 
 
 def report(outdir, top):
@@ -141,7 +187,9 @@ def report(outdir, top):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--fused", type=int, default=1)
+    ap.add_argument("--fused", type=int, default=0)
+    ap.add_argument("--train", action="store_true",
+                    help="trace the training step instead of the eval forward")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--dir", default=None,
@@ -149,8 +197,9 @@ def main():
     args = ap.parse_args()
     outdir = args.dir
     if outdir is None:
-        outdir = tempfile.mkdtemp(prefix=f"xp_fused{args.fused}_")
-        capture(outdir, args.fused)
+        tag = "train" if args.train else f"fused{args.fused}"
+        outdir = tempfile.mkdtemp(prefix=f"xp_{tag}_")
+        capture(outdir, args.fused, train=args.train)
         print(f"trace dir: {outdir}", file=sys.stderr)
     report(outdir, args.top)
 
