@@ -146,3 +146,25 @@ def test_runner_batch_sharded_matches_single(rng):
     for v, o in zip(vols, sharded):
         ref = runner(v)
         np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=1e-5)
+
+
+def test_dp_eval_forward_paired_matches_single_device(rng):
+    """The paired (8C) layout's fold_pairs reshapes ride the sharded batch
+    dim; the sharded eval forward must equal the single-device one."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model = MaskTransUnet(num_layers=(8, 16, 32), roi_size_list=(8, 6, 4),
+                          is_roi_list=(False, True, True), dim_input=1,
+                          dim_output=2, n_layers=1, packed_levels=2,
+                          folded=True, paired=True)
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 4, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    fwd = engine.make_eval_forward(model)
+    ref = jax.jit(fwd)(variables["params"], x)
+
+    mesh = parallel.make_mesh()
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+    repl = NamedSharding(mesh, P())
+    fwd_dp = jax.jit(fwd, in_shardings=(repl, shard))
+    got = fwd_dp(variables["params"], jax.device_put(x, shard))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
