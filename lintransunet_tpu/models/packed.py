@@ -22,14 +22,17 @@ from lintransunet_tpu.ops import packed_conv as pc
 
 Array = jnp.ndarray
 
-# When set (a list), every PackedConv traced appends (path, kind) with kind
-# the kernel-transform it will apply ('dense' | 'sheared' | 's2' | '1x1') —
-# used by prepack_plan to enumerate the kernels prepack_params must transform.
+# When set (a list), every PackedConv traced appends (path, kind, raw_shape)
+# with kind the kernel-transform it will apply ('dense' | 'sheared' | 's2' |
+# '1x1') and raw_shape the UNpacked kernel shape — used by prepack_plan to
+# enumerate the kernels prepack_params must transform (and to make re-
+# prepacking an already-packed tree a safe no-op).
 _PREPACK_CAPTURE = None
 
 
 def prepack_plan(model, example, train: bool = False):
-    """Abstract-trace ``model``; list every PackedConv as (path, kind).
+    """Abstract-trace ``model``; list every PackedConv as (path, kind,
+    raw_shape).
 
     Runs under jax.eval_shape — no FLOPs, no device memory. ``example`` may
     be a jax.ShapeDtypeStruct."""
@@ -74,11 +77,14 @@ def prepack_params(model, params, example, plan=None):
     # ~30 ms per host round-trip, and the pack transforms are many small ops)
     def transform(p):
         p = _mutable_tree(p)
-        for path, kind in plan:
+        for path, kind, raw_shape in plan:
             node = p
             for name in path:
                 node = node[name]
-            node["kernel"] = packers[kind](node["kernel"])
+            # already-packed kernels (shape != raw) pass through untouched,
+            # so prepacking an eval tree twice is a safe no-op
+            if node["kernel"].shape == raw_shape:
+                node["kernel"] = packers[kind](node["kernel"])
         return p
 
     return jax.jit(transform)(params)
@@ -113,9 +119,10 @@ class PackedConv(nn.Module):
             and pc.resolve_s1_formulation(4 * self.in_features) == "sheared")
         kind = ("s2" if self.mode == "s2" else "1x1" if self.mode == "1x1"
                 else "sheared" if use_sheared else "dense")
-        if _PREPACK_CAPTURE is not None:
-            _PREPACK_CAPTURE.append((self.scope.path, kind))
         k = 1 if self.mode == "1x1" else self.kernel_size
+        if _PREPACK_CAPTURE is not None:
+            raw_shape = (k, k, k, self.in_features, self.features)
+            _PREPACK_CAPTURE.append((self.scope.path, kind, raw_shape))
         if self.is_initializing() or not self.has_variable("params", "kernel"):
             kernel = self.param(
                 "kernel", nn.initializers.lecun_normal(),

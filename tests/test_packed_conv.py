@@ -341,8 +341,13 @@ def test_prepack_params_equivalence(rng, folded):
     # plan from an abstract example (no device memory)
     plan = prepack_plan(model, jax.ShapeDtypeStruct(x.shape, x.dtype))
     assert plan and all(
-        k in ("dense", "sheared", "s2", "1x1") for _, k in plan)
+        k in ("dense", "sheared", "s2", "1x1") for _, k, _ in plan)
     pp = prepack_params(model, variables["params"], None, plan=plan)
+    # re-prepacking an already-packed tree is a no-op (shape guard)
+    pp2 = prepack_params(model, pp, None, plan=plan)
+    for a, b in zip(jax.tree_util.tree_leaves(pp),
+                    jax.tree_util.tree_leaves(pp2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     ref, ref_masks = model.apply(variables, x, train=False, return_aux=True)
     got, got_masks = model.apply({"params": pp}, x, train=False,
