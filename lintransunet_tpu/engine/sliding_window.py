@@ -34,6 +34,14 @@ Array = jnp.ndarray
 # measured no-win at the default window geometry, kept as an A/B knob.
 SCAN_UNROLL = int(os.environ.get("LINTRANSUNET_SCAN_UNROLL", "1"))
 
+# Optimisation barriers at the predictor boundary inside the scan body
+# (trace-time). The in-scan forward runs ~8 ms/window slower than the same
+# forward standalone (docs/DESIGN.md §10) and the known failure mode on this
+# model is layout/fusion context leaking across a boundary (the PEG fix,
+# models/blocks.py). "in" barriers the sliced window batch, "pred" the
+# predictor output, "both" both ends. Default off pending the TPU A/B.
+SCAN_BARRIER = os.environ.get("LINTRANSUNET_SCAN_BARRIER", "")
+
 
 def scan_interval(image_size: Sequence[int], roi_size: Sequence[int],
                   overlap: float) -> Tuple[int, ...]:
@@ -194,7 +202,11 @@ def sliding_window_inference(
         chunk_starts, chunk_w = chunk
         windows = [slice_window(chunk_starts[i]) for i in range(sw_batch_size)]
         batch = jnp.concatenate(windows, axis=0)  # (sw*N, h, w, d, C)
+        if SCAN_BARRIER in ("in", "both"):
+            batch = jax.lax.optimization_barrier(batch)
         preds = predictor(batch, *predictor_args).astype(jnp.float32)
+        if SCAN_BARRIER in ("pred", "both"):
+            preds = jax.lax.optimization_barrier(preds)
         preds = preds.reshape((sw_batch_size, n) + roi_size + (out_channels,))
         for i in range(sw_batch_size):
             contrib = preds[i] * chunk_w[i]

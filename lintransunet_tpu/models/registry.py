@@ -25,44 +25,66 @@ def one_hot_argmax(out: Array) -> Array:
     return jax.nn.one_hot(idx, out.shape[-1], dtype=out.dtype)
 
 
-def packed_one_hot_argmax2(xp: Array, unpack_times: int = 2) -> Array:
-    """One-hot channel argmax for dim_output=2 computed on a channel-major
-    2x2-packed tensor, then unembedded ``unpack_times`` times.
+def _packed_lane_one_hot(x: Array, n_classes: int) -> Array:
+    """One-hot argmax over class-major lane groups of a packed tensor.
 
     Channel-major packing (packed ch = c*4 + sub-position) keeps the class
-    in the MAJOR lane bits at every nesting level, so with 2 classes the
-    upper half of the lanes is always class 1. The compare therefore runs on
-    two contiguous lane slices of the packed tensor instead of a
-    full-resolution (…, 2) argmax that pays a huge lane-padding tax.
-    Equivalent to one_hot_argmax on the fully unembedded logits, including
-    argmax's first-max tie rule (ties -> class 0).
+    in the MAJOR lane bits at every nesting level, so class k occupies the
+    contiguous lane group [k*m, (k+1)*m). The argmax therefore runs as a
+    running compare over n contiguous lane slices instead of a
+    full-resolution (…, n) argmax that pays a huge lane-padding tax.
+    First-max tie rule matches jnp.argmax (ties -> lowest class).
+    """
+    m = x.shape[-1] // n_classes
+    best = x[..., :m]
+    idx = jnp.zeros(x.shape[:-1] + (m,), jnp.int32)
+    for k in range(1, n_classes):
+        cand = x[..., k * m:(k + 1) * m]
+        better = cand > best  # strictly greater: first max wins
+        idx = jnp.where(better, k, idx)
+        best = jnp.where(better, cand, best)
+    return jnp.concatenate([(idx == k) for k in range(n_classes)],
+                           axis=-1).astype(x.dtype)
 
-    The ROIDecoder's packed eval output is DOUBLY packed — the compute
-    packing on top of the model's own window embedding — hence the default
-    unpack_times=2.
+
+def packed_one_hot_argmax(xp: Array, n_classes: int,
+                          unpack_times: int = 2) -> Array:
+    """One-hot channel argmax computed on a channel-major 2x2-packed
+    tensor, then unembedded ``unpack_times`` times.
+
+    Equivalent to one_hot_argmax on the fully unembedded logits, including
+    the tie rule. The ROIDecoder's packed eval output is DOUBLY packed —
+    the compute packing on top of the model's own window embedding — hence
+    the default unpack_times=2.
     """
     from lintransunet_tpu import ops
 
-    c = xp.shape[-1]
-    fg = xp[..., c // 2:] > xp[..., :c // 2]  # class 1 strictly greater
-    oh = jnp.concatenate([jnp.logical_not(fg), fg], axis=-1).astype(xp.dtype)
+    oh = _packed_lane_one_hot(xp, n_classes)
     for _ in range(unpack_times):
         oh = ops.windows_unembedding(oh, 2)
     return oh
 
 
-def folded_one_hot_argmax2(xf: Array, n_volumes: int) -> Array:
-    """packed_one_hot_argmax2 for FOLDED doubly-packed logits
+def packed_one_hot_argmax2(xp: Array, unpack_times: int = 2) -> Array:
+    """packed_one_hot_argmax specialised to dim_output=2."""
+    return packed_one_hot_argmax(xp, 2, unpack_times)
+
+
+def folded_one_hot_argmax(xf: Array, n_classes: int, n_volumes: int) -> Array:
+    """packed_one_hot_argmax for FOLDED doubly-packed logits
     (N*D, H2, W2, 4C): lane compare in the folded layout, one folded
     unembed, unfold, then the model-level window unembed."""
     from lintransunet_tpu import ops
     from lintransunet_tpu.ops import packed_conv as pc
 
-    c = xf.shape[-1]
-    fg = xf[..., c // 2:] > xf[..., :c // 2]
-    oh = jnp.concatenate([jnp.logical_not(fg), fg], axis=-1).astype(xf.dtype)
+    oh = _packed_lane_one_hot(xf, n_classes)
     oh = pc.unfold_depth(pc.unpack_folded(oh), n_volumes)
     return ops.windows_unembedding(oh, 2)
+
+
+def folded_one_hot_argmax2(xf: Array, n_volumes: int) -> Array:
+    """folded_one_hot_argmax specialised to dim_output=2."""
+    return folded_one_hot_argmax(xf, 2, n_volumes)
 
 
 class TraditionUnet(nn.Module):
@@ -204,7 +226,7 @@ class MaskTransUnet(nn.Module):
         if return_aux is None:
             return_aux = train
         n_levels = len(self.num_layers)
-        packed_eval = (not return_aux and self.dim_output == 2
+        packed_eval = (not return_aux and self.dim_output >= 2
                        and min(self.packed_levels, n_levels - 2) > 0)
         folded = (pc.FOLDED_LAYOUT_DEFAULT if self.folded is None
                   else self.folded)
@@ -233,8 +255,8 @@ class MaskTransUnet(nn.Module):
             return out, mask_list
         if packed_eval:
             if folded:
-                return folded_one_hot_argmax2(out, x.shape[0])
-            return packed_one_hot_argmax2(out)
+                return folded_one_hot_argmax(out, self.dim_output, x.shape[0])
+            return packed_one_hot_argmax(out, self.dim_output)
         return one_hot_argmax(out)
 
 

@@ -497,3 +497,38 @@ def test_paired_eval_branch(rng):
     got = fast.apply(variables, x, train=False)
     np.testing.assert_array_equal(np.asarray(got),
                                   np.asarray(one_hot_argmax(probs)))
+
+
+def test_packed_eval_branch_multiclass(rng):
+    """dim_output=3 packed eval epilogue (generalised lane argmax) must
+    equal the argmax of the model's own probabilities."""
+    import jax
+
+    from lintransunet_tpu.models import MaskTransUnet
+    from lintransunet_tpu.models.registry import one_hot_argmax
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(8, 6, 4),
+              is_roi_list=(False, True, True), dim_input=1, dim_output=3,
+              packed_levels=2, folded=True)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 4, 1)).astype(np.float32))
+    fast = MaskTransUnet(**kw)
+    variables = fast.init(jax.random.PRNGKey(0), x, train=False)
+    probs, _ = fast.apply(variables, x, train=False, return_aux=True)
+    got = fast.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(one_hot_argmax(probs)))
+
+
+def test_packed_lane_one_hot_tie_rule(rng):
+    """Generalised lane argmax reproduces jnp.argmax's first-max tie rule."""
+    from lintransunet_tpu.models.registry import (one_hot_argmax,
+                                                  packed_one_hot_argmax)
+
+    xp = rng.standard_normal((2, 4, 4, 2, 48)).astype(np.float32)
+    xp[0, 0, 0, 0, :] = 1.0  # 3-way tie -> class 0
+    xp[0, 1, 0, 0, 16:] = 2.0  # tie between classes 1 and 2 -> class 1
+    xp = jnp.asarray(xp)
+    ref = one_hot_argmax(ops.windows_unembedding(
+        ops.windows_unembedding(xp, 2), 2))
+    got = packed_one_hot_argmax(xp, 3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
