@@ -14,6 +14,7 @@ Parameters are float32; the ``dtype`` field selects the compute dtype
 (bfloat16 in production — the TPU analogue of the reference's AMP autocast).
 """
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -23,6 +24,17 @@ import jax.numpy as jnp
 from lintransunet_tpu import ops
 
 Array = jnp.ndarray
+
+# Rematerialisation policy for the training backward (read once at import,
+# same trace-time contract as ops.packed_conv.FORCE_CONV3D):
+#   "attn"  — wrap every SelfAttentionLayer in jax.checkpoint, so the
+#             backward recomputes the attention/FFN intermediates instead of
+#             saving ~6 (N, tokens, C) tensors per layer x 8 layers x 4
+#             bridges. The layers are bandwidth-bound (docs/DESIGN.md §9),
+#             so the recompute is cheap relative to the HBM it frees —
+#             this is what buys train_batch > 1 on a 16 GB chip.
+# Eval (train=False) never remats; parameters/checkpoints are unaffected.
+REMAT = os.environ.get("LINTRANSUNET_REMAT", "")
 
 
 def _conv(features: int, kernel: int, stride=1, padding=0, groups: int = 1,
@@ -145,6 +157,19 @@ class SelfAttentionLayer(nn.Module):
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="layer_norm2")(x)
 
 
+def _attn_layer_cls(train: bool):
+    """SelfAttentionLayer, checkpointed under the "attn" remat policy.
+
+    nn.remat preserves the wrapped module's parameter structure, so the
+    checkpoint format is identical either way. static_argnums=(3,) marks
+    ``train`` (module is argument 0) — it drives python control flow.
+    Callers must pass (x, mask, train) positionally on the remat path.
+    """
+    if train and REMAT == "attn":
+        return nn.remat(SelfAttentionLayer, static_argnums=(3,))
+    return SelfAttentionLayer
+
+
 class TransEncoder(nn.Module):
     """N-layer stack of SelfAttentionLayer (trans_block.py:214-232)."""
 
@@ -159,9 +184,9 @@ class TransEncoder(nn.Module):
     def __call__(self, x: Array, mask: Optional[Array] = None,
                  train: bool = False) -> Array:
         for i in range(self.n_layers):
-            x = SelfAttentionLayer(
+            x = _attn_layer_cls(train)(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-                dtype=self.dtype, name=f"layers_{i}")(x, mask, train=train)
+                dtype=self.dtype, name=f"layers_{i}")(x, mask, train)
         return x
 
 
@@ -294,10 +319,9 @@ class PosAttention3DBlock(nn.Module):
                                        dtype=self.dtype,
                                        name="pos_encoders_0")
         for i in range(self.n_layers):
-            tokens = SelfAttentionLayer(
+            tokens = _attn_layer_cls(train)(
                 self.d_model, self.nhead, 2 * self.d_model, self.dropout,
-                dtype=self.dtype, name=f"layers_{i}")(tokens, mask,
-                                                      train=train)
+                dtype=self.dtype, name=f"layers_{i}")(tokens, mask, train)
             if i == 0:
                 tokens = _peg_on_tokens(tokens, hwd, peg_f(), train)
         return _from_tokens_dhw(tokens, hwd)
@@ -484,9 +508,9 @@ class EmbedAttention3DBlock(nn.Module):
                                            dtype=self.dtype,
                                            name="pos_encoder")
             for i in range(self.n_layers):
-                tokens = SelfAttentionLayer(
+                tokens = _attn_layer_cls(train)(
                     self.d_model, self.nhead, 2 * self.d_model, self.dropout,
-                    dtype=self.dtype, name=f"layers_{i}")(tokens, train=train)
+                    dtype=self.dtype, name=f"layers_{i}")(tokens, None, train)
                 if i == 0:
                     tokens = _peg_on_tokens(tokens, hwd, peg_f(), train)
             x = _from_tokens_dhw(tokens, hwd)
