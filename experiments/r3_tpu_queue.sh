@@ -54,4 +54,10 @@ run 09_sw2       2400 -- python bench.py --sw_batch 2 --runs 4
 # 7. training step (the round-1 431 ms/step budget, post round-2/3 fixes)
 run 10_train 3600 -- python bench.py --train --runs 5
 
+# 8. train-step scaling: remat alone, then batch>1 (needs remat headroom?)
+run 11_train_remat 3600 LINTRANSUNET_REMAT=attn -- python bench.py --train --runs 5
+run 12_train_b2       3600 -- python bench.py --train --train_batch 2 --runs 5
+run 13_train_b2_remat 3600 LINTRANSUNET_REMAT=attn -- python bench.py --train --train_batch 2 --runs 5
+run 14_train_b4_remat 3600 LINTRANSUNET_REMAT=attn -- python bench.py --train --train_batch 4 --runs 5
+
 echo "QUEUE DONE $(date)" | tee -a $R/results.log

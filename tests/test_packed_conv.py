@@ -532,3 +532,39 @@ def test_packed_lane_one_hot_tie_rule(rng):
         ops.windows_unembedding(xp, 2), 2))
     got = packed_one_hot_argmax(xp, 3)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("prepacked", [False, True])
+def test_sheared_model_matches_default(rng, prepacked, monkeypatch):
+    """Forcing the sheared stride-1 formulation (LINTRANSUNET_FOLDED_S1=
+    sheared, the 16/9x-FLOPs transform) must compute the same function with
+    the same raw params as the default formulation, including composed with
+    prepack_params (pre-sheared (2,2,kd,4C,4O) kernels)."""
+    import jax
+
+    from lintransunet_tpu.models import (MaskTransUnet, prepack_params,
+                                         prepack_plan)
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(6, 6, 4),
+              is_roi_list=(True, True, True), dim_input=1, dim_output=2,
+              packed_levels=2, folded=True)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 4, 1)).astype(np.float32))
+    base = MaskTransUnet(**kw)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    ref_out, ref_masks = base.apply(variables, x, train=False,
+                                    return_aux=True)
+
+    monkeypatch.setattr(pc, "FOLDED_S1_FORMULATION", "sheared")
+    fast = MaskTransUnet(**kw)
+    params = variables["params"]
+    if prepacked:
+        params = prepack_params(
+            fast, params, None,
+            plan=prepack_plan(fast, jax.ShapeDtypeStruct(x.shape, x.dtype)))
+    got_out, got_masks = fast.apply({"params": params}, x, train=False,
+                                    return_aux=True)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-5)
+    for g, r in zip(got_masks, ref_masks):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
