@@ -39,22 +39,65 @@ def main():
             jax.random.PRNGKey(0), init, train=False))()["params"]
         params = prepack_params(model, params, init)
         for b in (1, 2, 4):
-            x = jnp.asarray(rng.standard_normal((b,) + roi + (1,)),
-                            jnp.bfloat16)
+            try:
+                x = jnp.asarray(rng.standard_normal((b,) + roi + (1,)),
+                                jnp.bfloat16)
 
-            def run():
-                return float(jnp.sum(fwd(params, x)[:, 0, 0, 0]))
+                def run():
+                    return float(jnp.sum(fwd(params, x)[:, 0, 0, 0]))
 
-            run()  # compile
-            run()
-            ts = []
-            for _ in range(4):
-                t0 = time.perf_counter()
+                run()  # compile
                 run()
+                ts = []
+                for _ in range(4):
+                    t0 = time.perf_counter()
+                    run()
+                    ts.append(time.perf_counter() - t0)
+                best = min(ts)
+                print(f"standalone roi {roi}: batch {b}: {best*1e3:7.1f} ms "
+                      f"total, {best*1e3/b:7.1f} ms/window", flush=True)
+            except Exception as e:  # OOM at big batches: keep probing
+                print(f"standalone roi {roi}: batch {b}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+
+    # End-to-end runner at each sw_batch: if the standalone forward scales
+    # flat but these don't, the regression is the runner's scan body
+    # (canvas blend serialisation / fusion context), not the model program.
+    from lintransunet_tpu.engine import SlidingWindowRunner
+    from lintransunet_tpu.engine.sliding_window import (
+        dense_window_starts, padded_spatial_shape)
+
+    roi = (512, 512, 64)
+    vol_shape = (1, 512, 512, 144, 1)
+    init = jnp.zeros((1,) + roi + (1,), jnp.bfloat16)
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), init, train=False))()["params"]
+    params = prepack_params(model, params, init)
+    volume = jnp.asarray(rng.standard_normal(vol_shape), jnp.bfloat16)
+    real = padded_spatial_shape(vol_shape[1:4], roi)
+    n_win = dense_window_starts(real, roi, 0.6).shape[0]
+    for sw in (1, 2, 4):
+        try:
+            runner = SlidingWindowRunner(
+                lambda x, p: fwd(p, x), roi, sw, overlap=0.6,
+                mode="constant", depth_bucket=roi[2], chunk_bucket=1)
+
+            def run_r():
+                return float(jnp.sum(runner(volume, params)[0, 0, 0, 0]))
+
+            run_r()  # compile
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_r()
                 ts.append(time.perf_counter() - t0)
             best = min(ts)
-            print(f"roi {roi}: batch {b}: {best*1e3:7.1f} ms total, "
-                  f"{best*1e3/b:7.1f} ms/window")
+            print(f"runner sw_batch {sw}: {best*1e3:7.1f} ms total, "
+                  f"{best*1e3/n_win:7.1f} ms/window ({n_win} windows)",
+                  flush=True)
+        except Exception as e:
+            print(f"runner sw_batch {sw}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:120]}", flush=True)
 
 
 if __name__ == "__main__":
