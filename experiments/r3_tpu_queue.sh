@@ -41,8 +41,10 @@ run 04_barrier_both 2400 LINTRANSUNET_SCAN_BARRIER=both -- python bench.py --run
 # 3. paired (8C depth-pair) layout for L0
 run 05_paired 2400 LINTRANSUNET_PAIRED=1 -- python bench.py --runs 4
 
-# 4. sheared formulation (16/9x FLOPs) on the folded layout
-run 06_sheared 2400 LINTRANSUNET_FOLDED_S1=sheared -- python bench.py --runs 4
+# 4. sheared formulation (16/9x FLOPs) on the folded layout:
+#    global, and gated to the compute-bound narrow levels only
+run 06_sheared   2400 LINTRANSUNET_FOLDED_S1=sheared   -- python bench.py --runs 4
+run 06b_sheared64 2400 LINTRANSUNET_FOLDED_S1=sheared64 -- python bench.py --runs 4
 
 # 5. per-window forward cost vs window batch (runner-vs-model attribution)
 run 07_swprobe 3000 -- python experiments/sw_batch_probe.py

@@ -64,6 +64,11 @@ def resolve_s1_formulation(c4: int, formulation: str = None) -> str:
     f = formulation or FOLDED_S1_FORMULATION
     if f == "auto":
         return "3d" if c4 <= 64 else "taps"
+    if f == "sheared64":
+        # sheared only where the dense formulation is COMPUTE-bound (4C at
+        # or below the MXU K=64 half-width, where folded "3d" sits at the
+        # ~49 TF/s cap); wider levels keep the measured "taps" winner.
+        return "sheared" if c4 <= 64 else "taps"
     return f
 
 
