@@ -41,6 +41,9 @@ run 04_barrier_both 2400 LINTRANSUNET_SCAN_BARRIER=both -- python bench.py --run
 # 3. paired (8C depth-pair) layout for L0
 run 05_paired 2400 LINTRANSUNET_PAIRED=1 -- python bench.py --runs 4
 
+# 3b. split forward/blend scans (canvas out of the predictor's fusion scope)
+run 05b_scansplit 2400 LINTRANSUNET_SCAN_SPLIT=1 -- python bench.py --runs 4
+
 # 4. sheared formulation (16/9x FLOPs) on the folded layout:
 #    global, and gated to the compute-bound narrow levels only
 run 06_sheared   2400 LINTRANSUNET_FOLDED_S1=sheared   -- python bench.py --runs 4

@@ -42,6 +42,16 @@ SCAN_UNROLL = int(os.environ.get("LINTRANSUNET_SCAN_UNROLL", "1"))
 # predictor output, "both" both ends. Default off pending the TPU A/B.
 SCAN_BARRIER = os.environ.get("LINTRANSUNET_SCAN_BARRIER", "")
 
+# Split the window loop into TWO scans (trace-time flag): a forward-only
+# scan that stacks every window's prediction (no canvas in scope — the
+# predictor compiles in a context with no read-modify-write carry), then a
+# trivial blend scan over the stacked buffer. Costs one
+# (n_chunks, sw, N, *roi, C) buffer in the predictor's output dtype
+# (~670 MB f32 / ~335 MB bf16 on the headline bench geometry) against the
+# ~8 ms/window in-scan forward tax if that tax is the canvas carry.
+# Default off pending the TPU A/B; bit-identical output (tested).
+SCAN_SPLIT = os.environ.get("LINTRANSUNET_SCAN_SPLIT", "") == "1"
+
 
 def scan_interval(image_size: Sequence[int], roi_size: Sequence[int],
                   overlap: float) -> Tuple[int, ...]:
@@ -198,16 +208,19 @@ def sliding_window_inference(
         return jax.lax.dynamic_slice(
             x, (0, start[0], start[1], start[2], 0), (n,) + roi_size + (c,))
 
-    def body(canvas, chunk):
-        chunk_starts, chunk_w = chunk
+    def forward_chunk(chunk_starts):
         windows = [slice_window(chunk_starts[i]) for i in range(sw_batch_size)]
         batch = jnp.concatenate(windows, axis=0)  # (sw*N, h, w, d, C)
         if SCAN_BARRIER in ("in", "both"):
             batch = jax.lax.optimization_barrier(batch)
-        preds = predictor(batch, *predictor_args).astype(jnp.float32)
+        preds = predictor(batch, *predictor_args)
         if SCAN_BARRIER in ("pred", "both"):
             preds = jax.lax.optimization_barrier(preds)
-        preds = preds.reshape((sw_batch_size, n) + roi_size + (out_channels,))
+        return preds.reshape(
+            (sw_batch_size, n) + roi_size + (out_channels,))
+
+    def blend_chunk(canvas, preds, chunk_starts, chunk_w):
+        preds = preds.astype(jnp.float32)
         for i in range(sw_batch_size):
             contrib = preds[i] * chunk_w[i]
             if imp_c is not None:
@@ -217,11 +230,29 @@ def sliding_window_inference(
             patch = jax.lax.dynamic_slice(
                 canvas, idx, (n,) + roi_size + (out_channels,))
             canvas = jax.lax.dynamic_update_slice(canvas, patch + contrib, idx)
-        return canvas, None
+        return canvas
+
+    def body(canvas, chunk):
+        chunk_starts, chunk_w = chunk
+        return blend_chunk(canvas, forward_chunk(chunk_starts),
+                           chunk_starts, chunk_w), None
 
     canvas = jnp.zeros((n, h, w, d, out_channels), jnp.float32)
-    canvas, _ = jax.lax.scan(body, canvas, (starts_j, weights_j),
-                             unroll=min(SCAN_UNROLL, n_chunks))
+    if SCAN_SPLIT:
+        # forward-only scan first (the predictor compiles with no canvas
+        # read-modify-write in its fusion context), stacking predictions in
+        # the predictor's OUTPUT dtype; then a trivial blend scan. The
+        # astype(f32) moves into the blend, which is bit-identical (the
+        # original also upcast straight off the predictor output).
+        _, all_preds = jax.lax.scan(
+            lambda c, s: (c, forward_chunk(s)), 0, starts_j,
+            unroll=min(SCAN_UNROLL, n_chunks))
+        canvas, _ = jax.lax.scan(
+            lambda c, t: (blend_chunk(c, *t), None), canvas,
+            (all_preds, starts_j, weights_j))
+    else:
+        canvas, _ = jax.lax.scan(body, canvas, (starts_j, weights_j),
+                                 unroll=min(SCAN_UNROLL, n_chunks))
     out = canvas / norm_c
 
     if any(p != (0, 0) for p in pads):

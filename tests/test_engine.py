@@ -265,3 +265,20 @@ def test_full_train_state_resume(tmp_path, model_and_state):
     restored_sched = engine.ReduceLROnPlateau(**aux["scheduler"])
     assert restored_sched.num_bad_epochs == sched.num_bad_epochs
     assert restored_sched.best == sched.best
+
+
+def test_scan_split_bit_identical(rng, monkeypatch):
+    """SCAN_SPLIT (two-scan forward/blend decomposition) must be
+    bit-identical to the fused scan: same slices, same blend math, the
+    f32 upcast just moves across the stacked buffer. Covers sw_batch>1
+    with a pad window (weight 0) and gaussian importance."""
+    vol = jnp.asarray(rng.standard_normal((2, 8, 8, 10, 3)).astype(np.float32))
+    predictor = lambda x: jnp.concatenate([x * 2.0, x[..., :1] - 1.0], axis=-1)
+    for mode, sigma in (("constant", 0.0), ("gaussian", 0.125)):
+        kw = dict(roi_size=(8, 8, 4), sw_batch_size=2, predictor=predictor,
+                  overlap=0.6, mode=mode, sigma_scale=sigma)
+        monkeypatch.setattr(engine.sliding_window, "SCAN_SPLIT", False)
+        ref = np.asarray(engine.sliding_window_inference(vol, **kw))
+        monkeypatch.setattr(engine.sliding_window, "SCAN_SPLIT", True)
+        got = np.asarray(engine.sliding_window_inference(vol, **kw))
+        np.testing.assert_array_equal(got, ref)
