@@ -55,6 +55,9 @@ run 07_swprobe 3000 -- python experiments/sw_batch_probe.py
 # 6. reference geometries: inference-CLI window (512x512x32, sw 4) + eval sw 2
 run 08_roi32_sw4 2400 -- python bench.py --roi_depth 32 --sw_batch 4 --runs 4
 run 09_sw2       2400 -- python bench.py --sw_batch 2 --runs 4
+# … and whether the split scan is what fixes batched windows
+run 08b_roi32_sw4_split 2400 LINTRANSUNET_SCAN_SPLIT=1 -- python bench.py --roi_depth 32 --sw_batch 4 --runs 4
+run 09b_sw2_split       2400 LINTRANSUNET_SCAN_SPLIT=1 -- python bench.py --sw_batch 2 --runs 4
 
 # 7. training step (the round-1 431 ms/step budget, post round-2/3 fixes)
 run 10_train 3600 -- python bench.py --train --runs 5
