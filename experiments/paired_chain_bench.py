@@ -42,6 +42,22 @@ def chain_paired_boundary(xf, kp, bp):
     return pc.unfold_pairs(chain_paired(pc.fold_pairs(xf, 1), kp, bp), 1)
 
 
+def chain_sheared(xf, ks, bp):
+    c = ks.shape[-1] // 4
+    for _ in range(N_CONVS):
+        y = pc.packed_conv3d_stride1_sheared_folded(xf, ks, bp, n_volumes=1)
+        xf = ops.leaky_relu(pc.group_instance_norm_folded(y, c, n_volumes=1))
+    return xf
+
+
+def chain_sheared_paired(x8, ks, bp):
+    c = ks.shape[-1] // 4
+    for _ in range(N_CONVS):
+        y = pc.packed_conv3d_stride1_sheared_paired(x8, ks, bp, n_volumes=1)
+        x8 = ops.leaky_relu(pc.group_instance_norm_paired(y, c, n_volumes=1))
+    return x8
+
+
 def main():
     print(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
@@ -58,12 +74,20 @@ def main():
         # useful = ORIGINAL conv flops x N_CONVS (2*spatial*27*C*O per conv)
         useful = 2 * (h2 * 2) * (w2 * 2) * d * 27 * c * o * N_CONVS
 
+        ks = jnp.asarray(pc.pack_kernel_stride1_sheared_jnp(jnp.asarray(
+            rng.standard_normal((3, 3, 3, c, o)).astype(np.float32))),
+            jnp.bfloat16)
+
         ta = marginal(chain_folded, xf, kp, bp)
         tb = marginal(chain_paired, x8, kp, bp)
         tc = marginal(chain_paired_boundary, xf, kp, bp)
+        td = marginal(chain_sheared, xf, ks, bp)
+        te = marginal(chain_sheared_paired, x8, ks, bp)
         print(f"{name}: folded-3d {ta*1e3:7.2f} ms ({useful/ta/1e12:5.1f} "
               f"useful TF/s) | paired {tb*1e3:7.2f} ({useful/tb/1e12:5.1f}) "
-              f"| paired+fold {tc*1e3:7.2f} ({useful/tc/1e12:5.1f})")
+              f"| paired+fold {tc*1e3:7.2f} ({useful/tc/1e12:5.1f}) "
+              f"| sheared {td*1e3:7.2f} ({useful/td/1e12:5.1f}) "
+              f"| sheared+paired {te*1e3:7.2f} ({useful/te/1e12:5.1f})")
 
 
 if __name__ == "__main__":

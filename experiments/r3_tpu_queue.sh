@@ -48,9 +48,14 @@ run 05b_scansplit 2400 LINTRANSUNET_SCAN_SPLIT=1 -- python bench.py --runs 4
 #    global, and gated to the compute-bound narrow levels only
 run 06_sheared   2400 LINTRANSUNET_FOLDED_S1=sheared   -- python bench.py --runs 4
 run 06b_sheared64 2400 LINTRANSUNET_FOLDED_S1=sheared64 -- python bench.py --runs 4
+# ... and composed with the paired layout (K=N=128 at 16/9x FLOPs on L0)
+run 06c_sheared_paired 2400 LINTRANSUNET_FOLDED_S1=sheared64 LINTRANSUNET_PAIRED=1 -- python bench.py --runs 4
 
 # 5. per-window forward cost vs window batch (runner-vs-model attribution)
 run 07_swprobe 3000 -- python experiments/sw_batch_probe.py
+
+# 5b. L0/L1 conv chain diagnostics: folded/paired/sheared/sheared+paired
+run 07b_chains 3000 -- python experiments/paired_chain_bench.py
 
 # 6. reference geometries: inference-CLI window (512x512x32, sw 4) + eval sw 2
 run 08_roi32_sw4 2400 -- python bench.py --roi_depth 32 --sw_batch 4 --runs 4

@@ -115,7 +115,7 @@ class PackedConv(nn.Module):
         only): the 8C depth-pair layout (n*D/2, H2, W2, 8C); s2 convs must
         take the folded layout (the strided output leaves the pair grid)."""
         use_sheared = (
-            self.mode == "s1" and n_volumes is not None and not paired
+            self.mode == "s1" and n_volumes is not None
             and pc.resolve_s1_formulation(4 * self.in_features) == "sheared")
         kind = ("s2" if self.mode == "s2" else "1x1" if self.mode == "1x1"
                 else "sheared" if use_sheared else "dense")
@@ -148,10 +148,12 @@ class PackedConv(nn.Module):
                         "sheared formulation requested but kernel was "
                         "pre-packed dense — rerun prepack_params under the "
                         "same LINTRANSUNET_FOLDED_S1 setting")
-                    assert not paired, \
-                        "sheared formulation is undefined on the paired layout"
                     ks = (kernel if pre_sheared
                           else pc.pack_kernel_stride1_sheared_jnp(kernel))
+                    if paired:
+                        return pc.packed_conv3d_stride1_sheared_paired(
+                            xp, ks.astype(xp.dtype), bp.astype(xp.dtype),
+                            n_volumes=n_volumes)
                     return pc.packed_conv3d_stride1_sheared_folded(
                         xp, ks.astype(xp.dtype), bp.astype(xp.dtype),
                         n_volumes=n_volumes)

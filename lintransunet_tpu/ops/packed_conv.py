@@ -653,6 +653,73 @@ def packed_conv3d_stride1_paired(x8: jnp.ndarray, packed_kernel, bias=None,
     return y
 
 
+def packed_conv3d_stride1_sheared_paired(x8: jnp.ndarray, sheared_kernel,
+                                         bias=None,
+                                         n_volumes: int = 1) -> jnp.ndarray:
+    """The sheared transform on the PAIRED layout — both levers at once.
+
+    The shear acts purely on the H/W block taps (2x2 taps + realign,
+    16/9x of the ORIGINAL FLOPs) while pairing acts on depth parity
+    (K=N=8C contraction), so they compose: the in-pair kernel stacks the
+    sheared depth-tap slices exactly as pair_kernel_stride1_jnp stacks the
+    dense ones ([[kd1, kd0], [kd2, kd1]]), the two boundary depth taps run
+    sheared at 4C on the row-shifted halves, and ONE realign pass serves
+    all three contributions (the (alpha, beta) output shift is the same
+    lane/space selection for every depth tap, so it commutes with their
+    sum). ~2/3 of the FLOPs run at the K=N=128 MXU width, total inflation
+    16/9x vs the paired-dense 4x. Bit-identical function to
+    packed_conv3d_stride1_paired with the matching dense kernel.
+
+    x8: (N*Dp, H2, W2, 8C); sheared_kernel: (2, 2, 3, 4C, 4O) from
+    pack_kernel_stride1_sheared_jnp.
+    """
+    sk = sheared_kernel.astype(x8.dtype)
+    ndp, h2, w2, c8 = x8.shape
+    c4 = c8 // 2
+    dp = ndp // n_volumes
+    o4 = sk.shape[-1]
+    s0, s1, s2 = sk[:, :, 0], sk[:, :, 1], sk[:, :, 2]
+
+    # in-pair: one 2x2-block-tap conv at 8C -> 8O
+    k8 = jnp.concatenate([jnp.concatenate([s1, s0], axis=-1),
+                          jnp.concatenate([s2, s1], axis=-1)], axis=-2)
+    xp = jnp.pad(x8, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, k8, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (ndp, h2+1, w2+1, 8O)
+
+    # boundary depth taps across pair rows (see packed_conv3d_stride1_paired)
+    x5 = x8.reshape(n_volumes, dp, h2, w2, c8)
+    prev_g1 = jnp.pad(x5[:, :-1, :, :, c4:],
+                      ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+    next_g0 = jnp.pad(x5[:, 1:, :, :, :c4],
+                      ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+    up = jax.lax.conv_general_dilated(
+        jnp.pad(prev_g1.reshape(ndp, h2, w2, c4),
+                ((0, 0), (1, 1), (1, 1), (0, 0))),
+        s0, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    dn = jax.lax.conv_general_dilated(
+        jnp.pad(next_g0.reshape(ndp, h2, w2, c4),
+                ((0, 0), (1, 1), (1, 1), (0, 0))),
+        s2, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + jnp.concatenate([up, dn], axis=-1)
+    if bias is not None:
+        # per-channel bias is constant across sub-positions, so it commutes
+        # with the realign's sub-position selection
+        b4 = bias.astype(y.dtype)
+        y = y + jnp.concatenate([b4, b4], axis=-1)
+
+    # one realign for all contributions: output group (alpha, beta) is the
+    # (h2, w2) slice at (alpha, beta) x the matching sub-position lane
+    yg = y.reshape(ndp, h2 + 1, w2 + 1, 2, o4 // 4, 4)
+    parts = [yg[:, a:a + h2, b:b + w2, :, :, a * 2 + b]
+             for a in (0, 1) for b in (0, 1)]
+    out = jnp.stack(parts, axis=-1)  # (ndp, h2, w2, 2, O, 4)
+    return out.reshape(ndp, h2, w2, 2 * o4)
+
+
 def packed_conv1x1_paired(x8: jnp.ndarray, packed_kernel,
                           bias=None) -> jnp.ndarray:
     """Pointwise conv on the paired layout.

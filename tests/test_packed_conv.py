@@ -568,3 +568,55 @@ def test_sheared_model_matches_default(rng, prepacked, monkeypatch):
     for g, r in zip(got_masks, ref_masks):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("prepacked", [False, True])
+def test_sheared_paired_model_matches_default(rng, prepacked, monkeypatch):
+    """Sheared + paired composed (both levers on the narrow levels) must
+    compute the same function with the same raw params as the baseline
+    folded path, including composed with prepack_params."""
+    import jax
+
+    from lintransunet_tpu.models import (MaskTransUnet, prepack_params,
+                                         prepack_plan)
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(6, 6, 4),
+              is_roi_list=(True, True, True), dim_input=1, dim_output=2,
+              packed_levels=2, folded=True)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 4, 1)).astype(np.float32))
+    base = MaskTransUnet(**kw, paired=False)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    ref_out, ref_masks = base.apply(variables, x, train=False,
+                                    return_aux=True)
+
+    monkeypatch.setattr(pc, "FOLDED_S1_FORMULATION", "sheared64")
+    fast = MaskTransUnet(**kw, paired=True)
+    params = variables["params"]
+    if prepacked:
+        params = prepack_params(
+            fast, params, None,
+            plan=prepack_plan(fast, jax.ShapeDtypeStruct(x.shape, x.dtype)))
+    got_out, got_masks = fast.apply({"params": params}, x, train=False,
+                                    return_aux=True)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-5)
+    for g, r in zip(got_masks, ref_masks):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sheared_paired_op_matches_paired(rng):
+    """Op-level: sheared-paired == dense-paired on multi-volume inputs."""
+    n, h2, w2, d, c, o = 2, 6, 5, 4, 3, 5
+    x = rng.standard_normal((n, 2 * h2, 2 * w2, d, c)).astype(np.float32)
+    k = rng.standard_normal((3, 3, 3, c, o)).astype(np.float32)
+    b = rng.standard_normal((o,)).astype(np.float32)
+    x8 = pc.fold_pairs(pc.fold_depth(
+        ops.windows_embedding(jnp.asarray(x), 2)), n)
+    kd = pc.pack_kernel_stride1_jnp(jnp.asarray(k))
+    ks = pc.pack_kernel_stride1_sheared_jnp(jnp.asarray(k))
+    bp = pc.pack_bias_jnp(jnp.asarray(b))
+    ref = pc.packed_conv3d_stride1_paired(x8, kd, bp, n_volumes=n)
+    got = pc.packed_conv3d_stride1_sheared_paired(x8, ks, bp, n_volumes=n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
