@@ -73,4 +73,7 @@ run 12_train_b2       3600 -- python bench.py --train --train_batch 2 --runs 5
 run 13_train_b2_remat 3600 LINTRANSUNET_REMAT=attn -- python bench.py --train --train_batch 2 --runs 5
 run 14_train_b4_remat 3600 LINTRANSUNET_REMAT=attn -- python bench.py --train --train_batch 4 --runs 5
 
+# 9. xplane trace of the training step (stage attribution for the next move)
+run 15_train_trace 3600 -- python experiments/profile_xplane.py --train
+
 echo "QUEUE DONE $(date)" | tee -a $R/results.log
