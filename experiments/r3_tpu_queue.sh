@@ -73,6 +73,10 @@ run 12_train_b2       3600 -- python bench.py --train --train_batch 2 --runs 5
 run 13_train_b2_remat 3600 LINTRANSUNET_REMAT=attn -- python bench.py --train --train_batch 2 --runs 5
 run 14_train_b4_remat 3600 LINTRANSUNET_REMAT=attn -- python bench.py --train --train_batch 4 --runs 5
 
+# 8b. training with the sheared formulation (backward through the 2x2-tap
+#     transpose conv; exactness covered by the CPU parity/equiv tests)
+run 14b_train_sheared 3600 LINTRANSUNET_FOLDED_S1=sheared64 -- python bench.py --train --runs 5
+
 # 9. xplane trace of the training step (stage attribution for the next move)
 run 15_train_trace 3600 -- python experiments/profile_xplane.py --train
 
