@@ -12,9 +12,13 @@ stay at 4C. This bench races the three-conv UpBlock core chain:
 Run on the v5e chip:  python experiments/paired_chain_bench.py
 """
 
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 from lintransunet_tpu import ops
 from lintransunet_tpu.ops import packed_conv as pc
