@@ -36,6 +36,15 @@ Array = jnp.ndarray
 # Eval (train=False) never remats; parameters/checkpoints are unaffected.
 REMAT = os.environ.get("LINTRANSUNET_REMAT", "")
 
+# Fused QKV projection for self-attention (A/B knob, decided on the full
+# bench like every round-3 lever): the three Q/K/V Dense layers of
+# MultiheadLinearAttention read the same (N, tokens, d) activation three
+# times. With q is k is v (always true in this model — every call site is
+# self-attention), concatenating the three kernels at apply time turns them
+# into ONE (tokens, d) @ (d, 3d) GEMM: one activation read instead of three,
+# identical contractions (exact), identical checkpoint tree.
+FUSED_QKV = os.environ.get("LINTRANSUNET_FUSED_QKV", "") == "1"
+
 
 def _conv(features: int, kernel: int, stride=1, padding=0, groups: int = 1,
           dtype=None, name: str = None) -> nn.Conv:
@@ -82,6 +91,25 @@ class ConvPosEmbed3d(nn.Module):
             x, deterministic=not train)
 
 
+class _ProjParams(nn.Module):
+    """Kernel+bias of one Q/K/V projection, declared without computing.
+
+    Mirrors nn.Dense's parameter names/shapes/initialisers exactly so the
+    fused-QKV path shares the checkpoint tree with the unfused one
+    (``linears_{i}/kernel|bias``).
+    """
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.d_model, self.d_model), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.d_model,), jnp.float32)
+        return kernel, bias
+
+
 class MultiheadLinearAttention(nn.Module):
     """Multi-head O(N) linear attention (``MultihAttention``, trans_block.py:127-166).
 
@@ -109,7 +137,16 @@ class MultiheadLinearAttention(nn.Module):
         def split(t):
             return t.reshape(n_batch, -1, self.nhead, d_k).transpose(0, 2, 1, 3)
 
-        q, k, v = (split(dense(i)(t)) for i, t in enumerate((q, k, v)))
+        if FUSED_QKV and q is k and k is v:
+            kb = [_ProjParams(self.d_model, name=f"linears_{i}")()
+                  for i in range(3)]
+            w = jnp.concatenate([kern for kern, _ in kb], axis=1)
+            b = jnp.concatenate([bias for _, bias in kb])
+            x, w, b = nn.dtypes.promote_dtype(q, w, b, dtype=self.dtype)
+            qkv = x @ w + b
+            q, k, v = (split(t) for t in jnp.split(qkv, 3, axis=-1))
+        else:
+            q, k, v = (split(dense(i)(t)) for i, t in enumerate((q, k, v)))
         if src_mask is not None:
             src_mask = src_mask[:, None]  # (B, 1, N, 1)
             x = ops.linear_attention(q, k, v, mask=src_mask)

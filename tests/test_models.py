@@ -170,3 +170,31 @@ def test_baseline_config1_forward_plus_dice_parity(small_setup):
     got_dice = float(DiceClassLoss()(
         small_setup.got_prob, jnp.asarray(small_setup.label[:, 0])))
     assert got_dice == pytest.approx(small_setup.ref_dice, rel=1e-4, abs=1e-5)
+
+
+def test_fused_qkv_matches_default(rng, monkeypatch):
+    """LINTRANSUNET_FUSED_QKV=1 (one concatenated QKV GEMM per self-attention
+    layer) must compute the same function with the same params as the three
+    separate projections, and init must produce the identical param tree."""
+    from lintransunet_tpu.models import blocks
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(6, 6, 4),
+              is_roi_list=(True, True, True), dim_input=1, dim_output=2)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 4, 1)).astype(np.float32))
+    base = MaskTransUnet(**kw)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    ref_out, ref_masks = base.apply(variables, x, train=False,
+                                    return_aux=True)
+
+    monkeypatch.setattr(blocks, "FUSED_QKV", True)
+    fused = MaskTransUnet(**kw)
+    fused_vars = fused.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(fused_vars["params"])
+            == jax.tree_util.tree_structure(variables["params"]))
+    got_out, got_masks = fused.apply(variables, x, train=False,
+                                     return_aux=True)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-6)
+    for g, r in zip(got_masks, ref_masks):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
