@@ -21,7 +21,7 @@ from collections import defaultdict
 sys.path.insert(0, "/root/repo")
 
 
-def capture(outdir, fused, train=False):
+def capture(outdir, fused, train=False, batch=1):
     os.environ["LINTRANSUNET_FUSED_STACK"] = str(fused)
     import jax
     import jax.numpy as jnp
@@ -40,7 +40,7 @@ def capture(outdir, fused, train=False):
         return _capture_train(outdir, model)
     roi = (512, 512, 64)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((1,) + roi + (1,)), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((batch,) + roi + (1,)), jnp.bfloat16)
     params = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), x, train=False))()["params"]
     # profile the SHIPPING path: serving params are prepacked (bench.py,
@@ -188,6 +188,9 @@ def report(outdir, top):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fused", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="window batch for the eval-forward trace (the "
+                         "sw_batch>1 scaling diagnosis)")
     ap.add_argument("--train", action="store_true",
                     help="trace the training step instead of the eval forward")
     ap.add_argument("--top", type=int, default=40)
@@ -197,9 +200,9 @@ def main():
     args = ap.parse_args()
     outdir = args.dir
     if outdir is None:
-        tag = "train" if args.train else f"fused{args.fused}"
+        tag = "train" if args.train else f"fused{args.fused}_b{args.batch}"
         outdir = tempfile.mkdtemp(prefix=f"xp_{tag}_")
-        capture(outdir, args.fused, train=args.train)
+        capture(outdir, args.fused, train=args.train, batch=args.batch)
         print(f"trace dir: {outdir}", file=sys.stderr)
     report(outdir, args.top)
 

@@ -244,12 +244,20 @@ def sliding_window_inference(
         # the predictor's OUTPUT dtype; then a trivial blend scan. The
         # astype(f32) moves into the blend, which is bit-identical (the
         # original also upcast straight off the predictor output).
+        #
+        # The stack merges (D, C) into one minor dim: a small C in the lane
+        # position tile-pads C -> 128 (64x HBM inflation at C=2 — a measured
+        # 24 GB OOM at sw_batch=2); D*C (= 128 for the headline geometry)
+        # tiles exactly. The reshapes are row-major-free and bit-identical.
+        stack_shape = (sw_batch_size, n) + roi_size + (out_channels,)
+        merged = stack_shape[:-2] + (stack_shape[-2] * stack_shape[-1],)
         _, all_preds = jax.lax.scan(
-            lambda c, s: (c, forward_chunk(s)), 0, starts_j,
+            lambda c, s: (c, forward_chunk(s).reshape(merged)), 0, starts_j,
             unroll=min(SCAN_UNROLL, n_chunks))
         canvas, _ = jax.lax.scan(
-            lambda c, t: (blend_chunk(c, *t), None), canvas,
-            (all_preds, starts_j, weights_j))
+            lambda c, t: (blend_chunk(c, t[0].reshape(stack_shape), *t[1:]),
+                          None),
+            canvas, (all_preds, starts_j, weights_j))
     else:
         canvas, _ = jax.lax.scan(body, canvas, (starts_j, weights_j),
                                  unroll=min(SCAN_UNROLL, n_chunks))
