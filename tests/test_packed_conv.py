@@ -479,6 +479,50 @@ def test_paired_model_matches_folded(rng, prepacked):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_paired_training_grads_match_folded(rng):
+    """Gradients through the paired layout must match the folded path: the
+    paired ops are exact reformulations, so the backward (transpose convs
+    through fold_pairs, half-lane boundary taps) differs only by summation
+    order. Guards the training path before paired becomes a default."""
+    import jax
+
+    from lintransunet_tpu.models import MaskTransUnet
+
+    kw = dict(num_layers=(8, 16, 32), roi_size_list=(6, 6, 4),
+              is_roi_list=(True, True, True), dim_input=1, dim_output=2,
+              packed_levels=2, folded=True, n_layers=2, dropout=0.0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 4, 1)).astype(np.float32))
+    labels = jnp.asarray((rng.random((2, 32, 32, 4)) > 0.7).astype(np.float32))
+
+    def loss_and_grads(paired):
+        model = MaskTransUnet(**kw, paired=paired)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+        def loss_fn(params):
+            out, mask_list = model.apply(
+                {"params": params}, x, train=True,
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            total = jnp.mean((out[..., 1] - labels) ** 2)
+            for m in mask_list:
+                total = total + jnp.mean(m[..., 1] ** 2)
+            return total
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+            variables["params"])
+        return float(loss), jax.tree_util.tree_map(np.asarray, grads)
+
+    loss0, g0 = loss_and_grads(False)
+    loss1, g1 = loss_and_grads(True)
+    assert loss0 == pytest.approx(loss1, rel=1e-5)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    assert len(flat0) == len(flat1)
+    for (p0, a0), (p1, a1) in zip(flat0, flat1):
+        assert p0 == p1
+        np.testing.assert_allclose(a0, a1, rtol=5e-4, atol=1e-5,
+                                   err_msg=str(p0))
+
+
 def test_paired_eval_branch(rng):
     """The paired eval epilogue path must equal the argmax of the paired
     model's own probabilities."""
