@@ -52,6 +52,21 @@ SCAN_BARRIER = os.environ.get("LINTRANSUNET_SCAN_BARRIER", "")
 # Default off pending the TPU A/B; bit-identical output (tested).
 SCAN_SPLIT = os.environ.get("LINTRANSUNET_SCAN_SPLIT", "") == "1"
 
+# How a chunk of sw_batch_size windows is EXECUTED on device (trace-time).
+# The reference's sw_batch exists to amortise per-kernel launch overhead on
+# GPU; under one jitted scan there is no launch overhead to amortise, and
+# concatenating windows into a (sw*N, ...) batch measurably LOSES on TPU:
+# HLO cost analysis shows exactly-linear FLOPs but +78% materialised
+# intermediate traffic at batch 2 (experiments/sw_batch_flops.py) — XLA's
+# fusion/layout choices degrade at the doubled shapes (standalone forward
+# 112.6 -> 145.4 ms/window, experiments/sw_batch_probe.py). "split" keeps
+# the device at the profitable batch: an inner lax.map runs the predictor
+# once per window, so per-window cost equals sw_batch=1 by construction,
+# while sw_batch keeps its MONAI grouping/grid semantics. Identical output
+# (the model is batch-equivariant; tested). "batch" = the concatenated
+# path; "auto" = split.
+SW_EXEC = os.environ.get("LINTRANSUNET_SW_EXEC", "auto")
+
 
 def scan_interval(image_size: Sequence[int], roi_size: Sequence[int],
                   overlap: float) -> Tuple[int, ...]:
@@ -208,7 +223,20 @@ def sliding_window_inference(
         return jax.lax.dynamic_slice(
             x, (0, start[0], start[1], start[2], 0), (n,) + roi_size + (c,))
 
+    def forward_one(start):
+        batch = slice_window(start)
+        if SCAN_BARRIER in ("in", "both"):
+            batch = jax.lax.optimization_barrier(batch)
+        preds = predictor(batch, *predictor_args)
+        if SCAN_BARRIER in ("pred", "both"):
+            preds = jax.lax.optimization_barrier(preds)
+        return preds
+
     def forward_chunk(chunk_starts):
+        if sw_batch_size > 1 and SW_EXEC in ("auto", "split"):
+            # One predictor call per window at its native batch (see the
+            # SW_EXEC note above); (sw, n, *roi, C).
+            return jax.lax.map(forward_one, chunk_starts)
         windows = [slice_window(chunk_starts[i]) for i in range(sw_batch_size)]
         batch = jnp.concatenate(windows, axis=0)  # (sw*N, h, w, d, C)
         if SCAN_BARRIER in ("in", "both"):

@@ -282,3 +282,36 @@ def test_scan_split_bit_identical(rng, monkeypatch):
         monkeypatch.setattr(engine.sliding_window, "SCAN_SPLIT", True)
         got = np.asarray(engine.sliding_window_inference(vol, **kw))
         np.testing.assert_array_equal(got, ref)
+
+def test_sw_exec_split_matches_batch(rng, monkeypatch):
+    """SW_EXEC=split (one predictor call per window via lax.map) must be
+    bit-identical to the concatenated (sw*N)-batch path for a
+    batch-equivariant predictor — the blend consumes the same (sw, N, ...)
+    stack either way."""
+    vol = jnp.asarray(rng.standard_normal((2, 8, 8, 10, 3)).astype(np.float32))
+    predictor = lambda x: jnp.concatenate([x * 2.0, x[..., :1] - 1.0], axis=-1)
+    kw = dict(roi_size=(8, 8, 4), sw_batch_size=2, predictor=predictor,
+              overlap=0.6)
+    monkeypatch.setattr(engine.sliding_window, "SW_EXEC", "batch")
+    ref = np.asarray(engine.sliding_window_inference(vol, **kw))
+    monkeypatch.setattr(engine.sliding_window, "SW_EXEC", "split")
+    got = np.asarray(engine.sliding_window_inference(vol, **kw))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_model_batch_equivariance(rng):
+    """The eval forward at batch 2 equals the two batch-1 forwards stacked
+    (InstanceNorm/attention/bbox are all per-sample) — the property the
+    SW_EXEC=split execution mode rests on."""
+    from lintransunet_tpu.models import MaskTransUnet
+
+    model = MaskTransUnet(
+        num_layers=(8, 32), roi_size_list=(6, 4), is_roi_list=(False, True),
+        dim_input=1, dim_output=2, n_layers=1, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False))
+    both = np.asarray(fwd(variables, x))
+    singles = np.concatenate(
+        [np.asarray(fwd(variables, x[i:i + 1])) for i in range(2)], axis=0)
+    np.testing.assert_allclose(both, singles, rtol=2e-5, atol=2e-6)
