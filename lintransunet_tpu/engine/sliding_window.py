@@ -39,8 +39,10 @@ SCAN_UNROLL = int(os.environ.get("LINTRANSUNET_SCAN_UNROLL", "1"))
 # forward standalone (docs/DESIGN.md §10) and the known failure mode on this
 # model is layout/fusion context leaking across a boundary (the PEG fix,
 # models/blocks.py). "in" barriers the sliced window batch, "pred" the
-# predictor output, "both" both ends. Default off pending the TPU A/B.
-SCAN_BARRIER = os.environ.get("LINTRANSUNET_SCAN_BARRIER", "")
+# predictor output, "both" both ends. Default "both": identity semantics,
+# and the round-3 on-chip A/B measured +2.8 patches/s alone and +7.5 in
+# the shipping paired+split combo (docs/DESIGN.md §10).
+SCAN_BARRIER = os.environ.get("LINTRANSUNET_SCAN_BARRIER", "both")
 
 # Split the window loop into TWO scans (trace-time flag): a forward-only
 # scan that stacks every window's prediction (no canvas in scope — the
@@ -49,8 +51,11 @@ SCAN_BARRIER = os.environ.get("LINTRANSUNET_SCAN_BARRIER", "")
 # (n_chunks, sw, N, *roi, C) buffer in the predictor's output dtype
 # (~670 MB f32 / ~335 MB bf16 on the headline bench geometry) against the
 # ~8 ms/window in-scan forward tax if that tax is the canvas carry.
-# Default off pending the TPU A/B; bit-identical output (tested).
-SCAN_SPLIT = os.environ.get("LINTRANSUNET_SCAN_SPLIT", "") == "1"
+# Default ON: bit-identical output (tested), and the round-3 on-chip A/B
+# measured 231.8 patches/s for paired+barrier+split vs 228.4 without the
+# split (it only pays WITH the barrier — paired+split alone regressed to
+# 199.1; docs/DESIGN.md §10).
+SCAN_SPLIT = os.environ.get("LINTRANSUNET_SCAN_SPLIT", "1") == "1"
 
 # How a chunk of sw_batch_size windows is EXECUTED on device (trace-time).
 # The reference's sw_batch exists to amortise per-kernel launch overhead on

@@ -49,10 +49,12 @@ FOLDED_S1_FORMULATION = os.environ.get("LINTRANSUNET_FOLDED_S1", "auto")
 FOLDED_LAYOUT_DEFAULT = os.environ.get("LINTRANSUNET_FOLDED", "1") != "0"
 
 # Whether narrow packed levels (4C <= 64) additionally run in the PAIRED
-# (8C depth-pair) layout — see the paired op section below. Default OFF
-# pending the TPU A/B (experiments/paired_chain_bench.py). Frozen at
-# import (trace-time flag).
-PAIRED_LAYOUT_DEFAULT = os.environ.get("LINTRANSUNET_PAIRED", "0") != "0"
+# (8C depth-pair) layout — see the paired op section below. Default ON:
+# the round-3 on-chip A/B measured 224.3 vs 202.1 patches/s on the
+# headline bench and 257.8 vs 300.0 ms/step on training (v5e,
+# /tmp/r3q results archived in docs/DESIGN.md §10). Frozen at import
+# (trace-time flag).
+PAIRED_LAYOUT_DEFAULT = os.environ.get("LINTRANSUNET_PAIRED", "1") != "0"
 
 
 def resolve_s1_formulation(c4: int, formulation: str = None) -> str:
