@@ -7,6 +7,7 @@ depth schedule is preserved exactly: encoder block i (1-based) strides
 ``(2,2,2)`` / ``(2,2,1)`` trilinear upsamples.
 """
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -26,12 +27,21 @@ def encoder_stride(i: int) -> Tuple[int, int, int]:
     return (2, 2, (i - 1) % 2 + 1)
 
 
+# Widest 4C lane width that still runs PAIRED. 64 pairs only levels below
+# the MXU's K=128 (the original motivation: fill the contraction dim).
+# The round-3 chain bench measured pairing ALSO winning at 4C=128
+# (L1 3-conv chain 3.99 vs 4.97 ms, 8C=256 — the gain there is halved rows
+# / fewer boundary taps, not K width), so the cap is tunable for the
+# full-bench A/B.
+PAIRED_MAX_4C = int(os.environ.get("LINTRANSUNET_PAIRED_MAX4C", "64"))
+
+
 def _use_paired(paired_flag: bool, folded: bool, channels: int) -> bool:
     """A packed level runs in the PAIRED (8C) layout iff its 4C lane width
-    is below the MXU's K=128 — the pairing exists to fill the contraction
-    dim. Must be applied identically on the encoder and decoder sides so
-    skips arrive in the layout the decoder level expects."""
-    return paired_flag and folded and 4 * channels <= 64
+    is at most PAIRED_MAX_4C. Must be applied identically on the encoder
+    and decoder sides so skips arrive in the layout the decoder level
+    expects."""
+    return paired_flag and folded and 4 * channels <= PAIRED_MAX_4C
 
 
 def decoder_scale(n_levels: int, i: int) -> Tuple[int, int, int]:

@@ -664,3 +664,31 @@ def test_sheared_paired_op_matches_paired(rng):
     got = pc.packed_conv3d_stride1_sheared_paired(x8, ks, bp, n_volumes=n)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_paired_wide_gate_matches_folded(rng, monkeypatch):
+    """PAIRED_MAX_4C=128 (pairing a 4C=128 level, 8C=256 lanes) must stay
+    exact — the paired ops are channel-generic; only the gate widens."""
+    import jax
+
+    from lintransunet_tpu.models import MaskTransUnet
+    from lintransunet_tpu.models import unet as unet_mod
+
+    kw = dict(num_layers=(16, 32, 64), roi_size_list=(6, 6, 4),
+              is_roi_list=(True, True, True), dim_input=1, dim_output=2,
+              packed_levels=2, folded=True, n_layers=2)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 4, 1)).astype(np.float32))
+    base = MaskTransUnet(**kw, paired=False)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    ref_out, ref_masks = base.apply(variables, x, train=False,
+                                    return_aux=True)
+
+    monkeypatch.setattr(unet_mod, "PAIRED_MAX_4C", 128)
+    fast = MaskTransUnet(**kw, paired=True)
+    got_out, got_masks = fast.apply(variables, x, train=False,
+                                    return_aux=True)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-5)
+    for g, r in zip(got_masks, ref_masks):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
