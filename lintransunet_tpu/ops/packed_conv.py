@@ -612,8 +612,40 @@ def pair_kernel_stride1_jnp(packed_kernel: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def pair_kernel_stride1_3d_jnp(packed_kernel: jnp.ndarray) -> jnp.ndarray:
+    """Dense pack (3, 3, 3, 4C, 4O) -> 3-tap PAIR-row kernel
+    (kp, kh, kw, 8C, 8O) for a single conv over (N, Dp, H2, W2, 8C).
+
+    Pair tap kp=1 is the in-pair kernel (pair_kernel_stride1_jnp); kp=0
+    (reads pair r-1) holds only the (g_in=1 -> g_out=0) block = depth tap
+    kd=0; kp=2 (reads pair r+1) only (g_in=0 -> g_out=1) = kd=2. The other
+    3/4 of each boundary tap is zeros — 2x the paired-pads FLOPs, but one
+    dense K=N=8C conv with no materialised row-shifted copies."""
+    kp = packed_kernel
+    z = jnp.zeros_like(kp[:, :, 0])
+    prev = jnp.concatenate([
+        jnp.concatenate([z, z], axis=-1),               # g_in = 0: nothing
+        jnp.concatenate([kp[:, :, 0], z], axis=-1),     # g_in = 1 -> g_out 0
+    ], axis=-2)
+    nxt = jnp.concatenate([
+        jnp.concatenate([z, kp[:, :, 2]], axis=-1),     # g_in = 0 -> g_out 1
+        jnp.concatenate([z, z], axis=-1),               # g_in = 1: nothing
+    ], axis=-2)
+    return jnp.stack([prev, pair_kernel_stride1_jnp(kp), nxt], axis=0)
+
+
+# How the paired stride-1 conv handles its two cross-pair boundary taps
+# (trace-time): "pads" materialises per-volume row-shifted half-lane copies
+# and runs them as 4C-wide 2D convs (~0.8 ms/window per pad fusion on the
+# eval trace); "3d" folds the boundary taps into one zero-blocked
+# (3, 3, 3, 8C, 8O) conv over (N, Dp, H2, W2, 8C) — 2x the in-pair FLOPs
+# at the full K=N=8C rate, zero copies. Frozen at import (trace-time flag).
+PAIRED_S1_FORMULATION = os.environ.get("LINTRANSUNET_PAIRED_S1", "pads")
+
+
 def packed_conv3d_stride1_paired(x8: jnp.ndarray, packed_kernel, bias=None,
-                                 n_volumes: int = 1) -> jnp.ndarray:
+                                 n_volumes: int = 1,
+                                 formulation: str = None) -> jnp.ndarray:
     """packed_conv3d_stride1 on the PAIRED layout.
 
     x8: (N*Dp, H2, W2, 8C); packed_kernel: (3, 3, 3, 4C, 4O) from
@@ -621,6 +653,21 @@ def packed_conv3d_stride1_paired(x8: jnp.ndarray, packed_kernel, bias=None,
     derived from it here). Bit-identical function to
     packed_conv3d_stride1_folded on the unfold_pairs view.
     """
+    formulation = formulation or PAIRED_S1_FORMULATION
+    if formulation == "3d":
+        kp = packed_kernel.astype(x8.dtype)
+        ndp, h2, w2, c8 = x8.shape
+        dp = ndp // n_volumes
+        x5 = x8.reshape(n_volumes, dp, h2, w2, c8)
+        y = jax.lax.conv_general_dilated(
+            x5, pair_kernel_stride1_3d_jnp(kp), (1, 1, 1),
+            [(1, 1), (1, 1), (1, 1)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        y = y.reshape(ndp, h2, w2, y.shape[-1])
+        if bias is not None:
+            b4 = bias.astype(y.dtype)
+            y = y + jnp.concatenate([b4, b4], axis=-1)
+        return y
     assert packed_kernel.shape[2] == 3, "paired path expects kd == 3"
     kp = packed_kernel.astype(x8.dtype)
     ndp, h2, w2, c8 = x8.shape

@@ -692,3 +692,25 @@ def test_paired_wide_gate_matches_folded(rng, monkeypatch):
     for g, r in zip(got_masks, ref_masks):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_paired_stride1_3d_formulation_matches_pads(rng):
+    """The zero-blocked 3-tap "3d" paired formulation must equal the
+    pad-based one (and hence the folded reference) — same function, the
+    boundary taps just ride the conv accumulator instead of materialised
+    row-shifted copies."""
+    n, d, h2, w2, c, o = 2, 6, 5, 4, 3, 2
+    x = jnp.asarray(rng.standard_normal((n * d, h2, w2, 4 * c))
+                    .astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((3, 3, 3, c, o))
+                         .astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((o,)).astype(np.float32))
+    kp = pc.pack_kernel_stride1_jnp(kernel)
+    bp = pc.pack_bias_jnp(bias)
+    x8 = pc.fold_pairs(x, n)
+    ref = pc.packed_conv3d_stride1_paired(x8, kp, bp, n_volumes=n,
+                                          formulation="pads")
+    got = pc.packed_conv3d_stride1_paired(x8, kp, bp, n_volumes=n,
+                                          formulation="3d")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
