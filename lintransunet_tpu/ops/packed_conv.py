@@ -482,6 +482,35 @@ def packed_conv1x1_folded(xf: jnp.ndarray, packed_kernel,
     return out
 
 
+# How IN statistics are computed on the folded/paired layouts (trace-time):
+# "reduce" = fused sibling jnp.mean reductions (ride the producing conv's
+# output fusion; the cross-tile reduction runs ~10x over the traffic floor
+# — ~1.7 ms on a (32,128,128,128) buffer, ~11.5 ms/window total on the
+# round-3 eval trace); "dot" = MXU contractions — a ones-matvec for the
+# sums and the diagonal of a batched Gram x^T x for the square sums (exact
+# f32 accumulation of bf16 products), which stream at bandwidth rate.
+IN_STATS = os.environ.get("LINTRANSUNET_IN_STATS", "reduce")
+
+
+def _mxu_group_stats(xr: jnp.ndarray, group_sum, count: int, eps: float):
+    """Per-volume lane stats via MXU contractions.
+
+    xr: (n, M, L) in the tensor dtype. group_sum: (n, L) -> (n, C) lane
+    group reduction. Returns per-group (mean, rstd), f32."""
+    n, m, l = xr.shape
+    ones = jnp.ones((m,), xr.dtype)
+    sums = jax.lax.dot_general(
+        xr, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (n, L)
+    gram = jax.lax.dot_general(
+        xr, xr, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (n, L, L)
+    sqs = jnp.diagonal(gram, axis1=1, axis2=2)         # (n, L)
+    mean = group_sum(sums) / count
+    var = jnp.maximum(group_sum(sqs) / count - jnp.square(mean), 0.0)
+    return mean, jax.lax.rsqrt(var + eps)
+
+
 def group_instance_norm_folded(xf: jnp.ndarray, channels: int,
                                n_volumes: int = 1,
                                eps: float = 1e-5) -> jnp.ndarray:
@@ -492,6 +521,15 @@ def group_instance_norm_folded(xf: jnp.ndarray, channels: int,
     nd, h, w, c4 = xf.shape
     assert c4 == 4 * channels
     d = nd // n_volumes
+    if IN_STATS == "dot":
+        xr = xf.reshape(n_volumes, d * h * w, c4)
+        mean, rstd = _mxu_group_stats(
+            xr, lambda s: s.reshape(n_volumes, channels, 4).sum(-1),
+            d * h * w * 4, eps)
+        mean_l = jnp.repeat(mean, 4, axis=-1)[:, None, None, None, :]
+        rstd_l = jnp.repeat(rstd, 4, axis=-1)[:, None, None, None, :]
+        x32 = xf.astype(jnp.float32).reshape(n_volumes, d, h, w, c4)
+        return ((x32 - mean_l) * rstd_l).reshape(nd, h, w, c4).astype(xf.dtype)
     x32 = xf.astype(jnp.float32).reshape(n_volumes, d, h, w, channels, 4)
     mean, rstd = moment_stats(x32, (1, 2, 3, 5), eps)
     out = (x32 - mean) * rstd
@@ -506,6 +544,13 @@ def instance_norm_folded(xf: jnp.ndarray, n_volumes: int = 1,
     ops.instance_norm on the unfolded (N, H, W, D, C) view."""
     nd, h, w, c = xf.shape
     d = nd // n_volumes
+    if IN_STATS == "dot":
+        xr = xf.reshape(n_volumes, d * h * w, c)
+        mean, rstd = _mxu_group_stats(xr, lambda s: s, d * h * w, eps)
+        x32 = xf.astype(jnp.float32).reshape(n_volumes, d, h, w, c)
+        return ((x32 - mean[:, None, None, None, :])
+                * rstd[:, None, None, None, :]).reshape(
+                    nd, h, w, c).astype(xf.dtype)
     x32 = xf.astype(jnp.float32).reshape(n_volumes, d, h, w, c)
     mean, rstd = moment_stats(x32, (1, 2, 3), eps)
     out = (x32 - mean) * rstd
@@ -800,6 +845,18 @@ def group_instance_norm_paired(x8: jnp.ndarray, channels: int,
     ndp, h, w, c8 = x8.shape
     assert c8 == 8 * channels
     dp = ndp // n_volumes
+    if IN_STATS == "dot":
+        xr = x8.reshape(n_volumes, dp * h * w, c8)
+        mean, rstd = _mxu_group_stats(
+            xr, lambda s: s.reshape(n_volumes, 2, channels, 4).sum((1, 3)),
+            dp * h * w * 8, eps)
+        mean_l = jnp.tile(jnp.repeat(mean, 4, axis=-1),
+                          (1, 2))[:, None, None, None, :]
+        rstd_l = jnp.tile(jnp.repeat(rstd, 4, axis=-1),
+                          (1, 2))[:, None, None, None, :]
+        x32 = x8.astype(jnp.float32).reshape(n_volumes, dp, h, w, c8)
+        return ((x32 - mean_l) * rstd_l).reshape(
+            ndp, h, w, c8).astype(x8.dtype)
     x32 = x8.astype(jnp.float32).reshape(
         n_volumes, dp, h, w, 2, channels, 4)
     mean, rstd = moment_stats(x32, (1, 2, 3, 4, 6), eps)

@@ -714,3 +714,25 @@ def test_paired_stride1_3d_formulation_matches_pads(rng):
                                           formulation="3d")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_in_stats_dot_matches_reduce(rng, monkeypatch):
+    """IN_STATS=dot (ones-matvec sums + Gram-diagonal square sums on the
+    MXU) must match the fused-reduction stats on all three IN variants —
+    same statistics, different accumulation route."""
+    n, d, h, w, c = 2, 4, 5, 6, 3
+    for name, make, args in [
+        ("folded", lambda x: pc.group_instance_norm_folded(
+            x, c, n_volumes=n), (n * d, h, w, 4 * c)),
+        ("paired", lambda x: pc.group_instance_norm_paired(
+            x, c, n_volumes=n), (n * (d // 2), h, w, 8 * c)),
+        ("plain", lambda x: pc.instance_norm_folded(
+            x, n_volumes=n), (n * d, h, w, c)),
+    ]:
+        x = jnp.asarray(rng.standard_normal(args).astype(np.float32) * 3 + 1)
+        monkeypatch.setattr(pc, "IN_STATS", "reduce")
+        ref = np.asarray(make(x))
+        monkeypatch.setattr(pc, "IN_STATS", "dot")
+        got = np.asarray(make(x))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5,
+                                   err_msg=name)
