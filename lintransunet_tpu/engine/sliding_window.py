@@ -57,20 +57,35 @@ SCAN_BARRIER = os.environ.get("LINTRANSUNET_SCAN_BARRIER", "both")
 # 199.1; docs/DESIGN.md §10).
 SCAN_SPLIT = os.environ.get("LINTRANSUNET_SCAN_SPLIT", "1") == "1"
 
-# How a chunk of sw_batch_size windows is EXECUTED on device (trace-time).
-# The reference's sw_batch exists to amortise per-kernel launch overhead on
-# GPU; under one jitted scan there is no launch overhead to amortise, and
-# concatenating windows into a (sw*N, ...) batch measurably LOSES on TPU:
-# HLO cost analysis shows exactly-linear FLOPs but +78% materialised
-# intermediate traffic at batch 2 (experiments/sw_batch_flops.py) — XLA's
-# fusion/layout choices degrade at the doubled shapes (standalone forward
-# 112.6 -> 145.4 ms/window, experiments/sw_batch_probe.py). "split" keeps
-# the device at the profitable batch: an inner lax.map runs the predictor
-# once per window, so per-window cost equals sw_batch=1 by construction,
-# while sw_batch keeps its MONAI grouping/grid semantics. Identical output
-# (the model is batch-equivariant; tested). "batch" = the concatenated
-# path; "auto" = split.
+# How the RUNNER executes a chunk of sw_batch_size windows (read at
+# SlidingWindowRunner construction). The reference's sw_batch exists to
+# amortise per-kernel launch overhead on GPU; under one jitted scan there
+# is no launch overhead to amortise, and concatenating windows into a
+# (sw*N, ...) batch measurably LOSES on TPU: HLO cost analysis shows
+# exactly-linear FLOPs but +78% materialised intermediate traffic at
+# batch 2 (experiments/sw_batch_flops.py) — XLA's fusion/layout choices
+# degrade at the doubled shapes (standalone forward 112.6 -> 145.4
+# ms/window, experiments/sw_batch_probe.py). "split" (= "auto") RE-CHUNKS
+# the runner's window grid to sw=1 — every window runs through its own
+# predictor call at the profitable batch, the blend accumulates in the
+# identical sequential window order, and the grid needs no pad windows —
+# while sw_batch keeps its MONAI grouping semantics at the API. Output is
+# bit-identical for batch-equivariant predictors (true of every in-repo
+# model; tested), which is therefore a REQUIREMENT of the runner's
+# auto/split modes. "batch" honours the concatenated (sw*N, ...)
+# execution verbatim. The raw ``sliding_window_inference`` function below
+# always honours the requested sw_batch (faithful MONAI semantics for
+# arbitrary predictors); this knob only shapes the grids the runner
+# feeds it.
 SW_EXEC = os.environ.get("LINTRANSUNET_SW_EXEC", "auto")
+
+# SCAN_SPLIT stacks every window's prediction before blending; that buffer
+# is n_chunks*sw*N*prod(roi)*C_out elements of the predictor dtype and
+# grows linearly with window count (a 24 GB OOM was hit in round 3 before
+# the D*C lane merge). Above this many bytes the engine falls back to the
+# fused single-scan path, which streams one window at a time.
+SPLIT_MAX_BYTES = int(os.environ.get(
+    "LINTRANSUNET_SPLIT_MAX_BYTES", str(4 * 1024 ** 3)))
 
 
 def scan_interval(image_size: Sequence[int], roi_size: Sequence[int],
@@ -178,24 +193,17 @@ def sliding_window_inference(
     runner) can key its jit cache on padded shapes while blending with the
     exact MONAI grid of the real extent. ``norm`` must be supplied with
     them. Weight-0 entries are pad windows whose predictions vanish.
+
+    The requested ``sw_batch_size`` is honoured verbatim: each chunk runs
+    the predictor ONCE on the concatenated (sw*N, ...) window batch,
+    faithful to ``monai.inferers`` for arbitrary (even non-batch-
+    equivariant) predictors. ``SlidingWindowRunner`` re-chunks to sw=1 by
+    default for TPU throughput — see ``SW_EXEC``.
     """
     n, *orig_spatial, _ = inputs.shape
     roi_size = tuple(int(r) for r in roi_size)
     x, pads = _pad_to_roi(inputs, roi_size)
     _, h, w, d, c = x.shape
-
-    # In split execution (see SW_EXEC) the chunk grouping is irrelevant to
-    # how windows run, so re-chunk to sw=1: a grid built below then has ZERO
-    # pad windows (at sw_batch=2 with 5 real windows the padded 6th costs a
-    # full forward — a measured 17% on the headline geometry), and a
-    # pre-chunked grid from the runner flattens to the same window order.
-    # The blend accumulates in the identical sequential window order either
-    # way, so the output is bit-identical (tested).
-    if sw_batch_size > 1 and SW_EXEC in ("auto", "split"):
-        if window_starts is not None:
-            window_starts = window_starts.reshape(-1, 1, 3)
-            window_weights = window_weights.reshape(-1, 1)
-        sw_batch_size = 1
 
     if norm is None:
         if window_starts is not None:
@@ -230,31 +238,18 @@ def sliding_window_inference(
         starts_j = jnp.asarray(starts_p).reshape(n_chunks, sw_batch_size, 3)
         weights_j = jnp.asarray(weights).reshape(n_chunks, sw_batch_size)
 
+    probe = jax.eval_shape(
+        predictor,
+        jax.ShapeDtypeStruct((sw_batch_size * n,) + roi_size + (c,), x.dtype),
+        *predictor_args)
     if out_channels is None:
-        probe = jax.eval_shape(
-            predictor,
-            jax.ShapeDtypeStruct((n,) + roi_size + (c,), x.dtype),
-            *predictor_args)
         out_channels = probe.shape[-1]
 
     def slice_window(start):
         return jax.lax.dynamic_slice(
             x, (0, start[0], start[1], start[2], 0), (n,) + roi_size + (c,))
 
-    def forward_one(start):
-        batch = slice_window(start)
-        if SCAN_BARRIER in ("in", "both"):
-            batch = jax.lax.optimization_barrier(batch)
-        preds = predictor(batch, *predictor_args)
-        if SCAN_BARRIER in ("pred", "both"):
-            preds = jax.lax.optimization_barrier(preds)
-        return preds
-
     def forward_chunk(chunk_starts):
-        if sw_batch_size > 1 and SW_EXEC in ("auto", "split"):
-            # One predictor call per window at its native batch (see the
-            # SW_EXEC note above); (sw, n, *roi, C).
-            return jax.lax.map(forward_one, chunk_starts)
         windows = [slice_window(chunk_starts[i]) for i in range(sw_batch_size)]
         batch = jnp.concatenate(windows, axis=0)  # (sw*N, h, w, d, C)
         if SCAN_BARRIER in ("in", "both"):
@@ -284,7 +279,9 @@ def sliding_window_inference(
                            chunk_starts, chunk_w), None
 
     canvas = jnp.zeros((n, h, w, d, out_channels), jnp.float32)
-    if SCAN_SPLIT:
+    stack_bytes = (n_chunks * sw_batch_size * n * math.prod(roi_size)
+                   * out_channels * probe.dtype.itemsize)
+    if SCAN_SPLIT and stack_bytes <= SPLIT_MAX_BYTES:
         # forward-only scan first (the predictor compiles with no canvas
         # read-modify-write in its fusion context), stacking predictions in
         # the predictor's OUTPUT dtype; then a trivial blend scan. The
@@ -325,6 +322,16 @@ class SlidingWindowRunner:
     multiple of ``depth_bucket`` and the window list up to a chunk multiple,
     both zero-cost for the blend, so one compiled program (keyed on padded
     shape + chunk count) serves every real depth in the bucket.
+
+    Under the default ``SW_EXEC`` (auto = split) a requested
+    ``sw_batch_size`` > 1 is re-chunked to 1: each window runs through its
+    own predictor call (the profitable execution batch on TPU — see the
+    SW_EXEC note above) and the grid never pays pad-window forwards. The
+    output is identical iff the predictor is batch-equivariant (true of
+    every in-repo model: InstanceNorm / attention / bbox are all
+    per-sample; tested). For a non-batch-equivariant external predictor
+    set ``LINTRANSUNET_SW_EXEC=batch`` to honour the reference's
+    concatenated sw-batch execution verbatim.
     """
 
     def __init__(self, predictor, roi_size, sw_batch_size, overlap=0.6,
@@ -335,13 +342,13 @@ class SlidingWindowRunner:
         # spread causes too many distinct compiled programs.
         self.predictor = predictor
         self.roi_size = tuple(roi_size)
-        # Split execution runs every window at its native batch anyway, so
-        # chunk the grid at 1 — the window list then needs NO pad entries
-        # (a grid of 5 real windows at sw_batch=2 would otherwise pay a
-        # sixth, wasted forward). chunk_bucket scales up by the requested
-        # sw so the jit-cache sharing across depths is unchanged.
+        # Split execution runs every window at its native batch, so chunk
+        # the grid at sw=1: the window list then needs NO pad entries. (A
+        # grid of 5 real windows at sw_batch=2 would otherwise pay a sixth,
+        # wasted forward — a measured 15% on the headline geometry; round-3
+        # queue-5 jobs 35/36 paid exactly that because this re-chunk used
+        # to scale chunk_bucket by the requested sw.)
         if sw_batch_size > 1 and SW_EXEC in ("auto", "split"):
-            chunk_bucket = chunk_bucket * sw_batch_size
             sw_batch_size = 1
         self.sw_batch_size = sw_batch_size
         self.overlap = overlap

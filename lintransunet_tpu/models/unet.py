@@ -36,12 +36,17 @@ def encoder_stride(i: int) -> Tuple[int, int, int]:
 PAIRED_MAX_4C = int(os.environ.get("LINTRANSUNET_PAIRED_MAX4C", "64"))
 
 
-def _use_paired(paired_flag: bool, folded: bool, channels: int) -> bool:
+def _use_paired(paired_flag: bool, folded: bool, channels: int,
+                depth: int) -> bool:
     """A packed level runs in the PAIRED (8C) layout iff its 4C lane width
-    is at most PAIRED_MAX_4C. Must be applied identically on the encoder
-    and decoder sides so skips arrive in the layout the decoder level
-    expects."""
-    return paired_flag and folded and 4 * channels <= PAIRED_MAX_4C
+    is at most PAIRED_MAX_4C and its depth is even (fold_pairs stacks depth
+    parity into lanes, packed_conv.py). Odd-depth levels fall back to the
+    folded path instead of tripping fold_pairs' assert. Must be applied
+    identically on the encoder and decoder sides so skips arrive in the
+    layout the decoder level expects — both sides see the same per-level
+    depths, so gating on the in-hand depth is consistent."""
+    return (paired_flag and folded and 4 * channels <= PAIRED_MAX_4C
+            and depth % 2 == 0)
 
 
 def decoder_scale(n_levels: int, i: int) -> Tuple[int, int, int]:
@@ -91,7 +96,8 @@ class Encoder(nn.Module):
             # packed levels stay packed for the packed decoder levels.
             # In the folded regime the ONE real transpose of the whole
             # packed region happens here, on the thinnest tensor.
-            p0 = _use_paired(paired_flag, folded, self.num_layers[0])
+            cur_d = x.shape[3]  # windows_embedding leaves depth untouched
+            p0 = _use_paired(paired_flag, folded, self.num_layers[0], cur_d)
             if folded:
                 xp = pc.pack_folded(pc.fold_depth(x))
                 if p0:
@@ -130,11 +136,13 @@ class Encoder(nn.Module):
                     name=f"block_list_{i - 1}")(
                         xp, train=train, n_volumes=nv,
                         paired=_use_paired(paired_flag, folded,
-                                           self.num_layers[i - 1]))
+                                           self.num_layers[i - 1], cur_d))
                 skips.append(skip_p)
+                cur_d //= encoder_stride(i)[2]
                 if i < p_levels:
                     xp = pc.pack_folded(x) if folded else pk.pack(x)
-                    if _use_paired(paired_flag, folded, self.num_layers[i]):
+                    if _use_paired(paired_flag, folded, self.num_layers[i],
+                                   cur_d):
                         xp = pc.fold_pairs(xp, n)
                 elif folded:
                     # crossing into the unpacked levels: unfold once
@@ -227,6 +235,7 @@ class ROIDecoder(nn.Module):
         paired_flag = (pc.PAIRED_LAYOUT_DEFAULT if self.paired is None
                        else self.paired)
         n = None  # volume count, set on entering the packed levels
+        lvl0_paired = False  # whether level 0 actually ran paired
 
         for i in range(n_levels):
             if i == 0:
@@ -244,7 +253,6 @@ class ROIDecoder(nn.Module):
                 # upsample directly into the packed layout (no full-res
                 # unpacked intermediate)
                 z2 = decoder_scale(n_levels, i)[2] == 2
-                lvl_paired = _use_paired(paired_flag, folded, layers[level])
                 if folded:
                     if n is None:
                         # first packed level: x arrives unpacked 5D from the
@@ -252,13 +260,18 @@ class ROIDecoder(nn.Module):
                         n = x.shape[0]
                         x = pc.fold_depth(x)
                     xp = pc.packed_upsample_x2_folded(x, n_volumes=n, z2=z2)
+                    lvl_paired = _use_paired(paired_flag, folded,
+                                             layers[level], xp.shape[0] // n)
                     if lvl_paired:
                         xp = pc.fold_pairs(xp, n)
                 else:
                     xp = pc.packed_upsample_x2(x, z2=z2)
+                    lvl_paired = False  # paired requires the folded regime
                 x = self._packed_level(xp, encoded_list[-i], level, i,
                                        mask_list, train, n_volumes=n,
                                        paired=lvl_paired)
+                if level == 0:
+                    lvl0_paired = lvl_paired
                 if level > 0:
                     if lvl_paired:
                         x = pc.unfold_pairs(x, n)
@@ -307,8 +320,9 @@ class ROIDecoder(nn.Module):
                 name=f"block_list_{i - 1}")(x, bridged, train=train)
 
         if min(self.packed_levels, n_levels - 2) > 0:
-            # only when level 0 actually ran packed (x is still packed here)
-            lvl0_paired = _use_paired(paired_flag, folded, layers[0])
+            # only when level 0 actually ran packed (x is still packed here;
+            # lvl0_paired was recorded when level 0 ran, so the epilogue
+            # always matches the layout x actually carries)
             x = pk.PackedConv(self.dim_output * self.emb_window ** 2,
                               layers[0], mode="s1",
                               kernel_size=self.kernel_size, dtype=self.dtype,

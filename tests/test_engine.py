@@ -137,10 +137,11 @@ def test_sliding_window_pads_small_volumes(rng):
 
 
 def test_runner_depth_bucketing(rng):
-    # chunk_bucket=2 rounds the chunk counts of both depths to a common
-    # value (the default is 1: exact grids, no pad-window forwards)
+    # chunk_bucket=4 rounds the chunk counts of both depths (2 and 4 real
+    # windows after the sw re-chunk) to a common value (the default is 1:
+    # exact grids, no pad-window forwards)
     runner = engine.SlidingWindowRunner(lambda x: x, (8, 8, 4), 2,
-                                        depth_bucket=4, chunk_bucket=2)
+                                        depth_bucket=4, chunk_bucket=4)
     for d in (5, 7):
         vol = jnp.asarray(rng.standard_normal((1, 8, 8, d, 2)).astype(np.float32))
         out = runner(vol)
@@ -284,17 +285,41 @@ def test_scan_split_bit_identical(rng, monkeypatch):
         np.testing.assert_array_equal(got, ref)
 
 def test_sw_exec_split_matches_batch(rng, monkeypatch):
-    """SW_EXEC=split (one predictor call per window via lax.map) must be
-    bit-identical to the concatenated (sw*N)-batch path for a
-    batch-equivariant predictor — the blend consumes the same (sw, N, ...)
-    stack either way."""
-    vol = jnp.asarray(rng.standard_normal((2, 8, 8, 10, 3)).astype(np.float32))
+    """The runner's SW_EXEC=split re-chunk (each window through its own
+    predictor call at sw=1) must be bit-identical to SW_EXEC=batch (the
+    concatenated (sw*N)-batch execution) for a batch-equivariant
+    predictor, and its grid must carry ZERO pad windows — the raw
+    sliding_window_inference always honours the requested sw_batch."""
+    vol = jnp.asarray(rng.standard_normal((1, 8, 8, 10, 3)).astype(np.float32))
     predictor = lambda x: jnp.concatenate([x * 2.0, x[..., :1] - 1.0], axis=-1)
-    kw = dict(roi_size=(8, 8, 4), sw_batch_size=2, predictor=predictor,
-              overlap=0.6)
+    kw = dict(roi_size=(8, 8, 4), sw_batch_size=2, overlap=0.6)
     monkeypatch.setattr(engine.sliding_window, "SW_EXEC", "batch")
-    ref = np.asarray(engine.sliding_window_inference(vol, **kw))
+    ref_runner = engine.SlidingWindowRunner(predictor, **kw)
+    ref = np.asarray(ref_runner(vol))
     monkeypatch.setattr(engine.sliding_window, "SW_EXEC", "split")
+    runner = engine.SlidingWindowRunner(predictor, **kw)
+    got = np.asarray(runner(vol))
+    np.testing.assert_array_equal(got, ref)
+    # 8x8x10 / roi 8x8x4 at overlap 0.6 -> interval 1 -> 7 depth starts;
+    # split must run exactly 7 forwards (batch mode pads 7 windows to 4
+    # chunks of 2, paying an 8th)
+    starts, weights, _ = runner._grid(vol.shape)
+    assert starts.shape == (7, 1, 3)
+    assert float(np.asarray(weights).min()) == 1.0
+    ref_starts, ref_weights, _ = ref_runner._grid(vol.shape)
+    assert ref_starts.shape == (4, 2, 3)
+    assert float(np.asarray(ref_weights).sum()) == 7.0
+
+
+def test_scan_split_size_fallback(rng, monkeypatch):
+    """Above SPLIT_MAX_BYTES the engine falls back to the fused scan —
+    same output, bounded memory (the stacked-prediction buffer grows
+    linearly with window count)."""
+    vol = jnp.asarray(rng.standard_normal((1, 8, 8, 10, 3)).astype(np.float32))
+    kw = dict(roi_size=(8, 8, 4), sw_batch_size=1, predictor=lambda x: x,
+              overlap=0.6)
+    ref = np.asarray(engine.sliding_window_inference(vol, **kw))
+    monkeypatch.setattr(engine.sliding_window, "SPLIT_MAX_BYTES", 1)
     got = np.asarray(engine.sliding_window_inference(vol, **kw))
     np.testing.assert_array_equal(got, ref)
 
