@@ -182,7 +182,12 @@ def report(outdir, top):
 
     print("\n-- top ops --")
     for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
-        print(f"{dur / 3:9.3f} ms/run  x{counts[name] // 3:<4d} {name[:110]}")
+        print(f"{dur / 3:9.3f} ms/run  x{counts[name] // 3:<4d} {name[:240]}")
+
+    print("\n-- copies (full) --")
+    copies = [(n, d) for n, d in agg.items() if n.startswith("%copy")]
+    for name, dur in sorted(copies, key=lambda kv: -kv[1])[:30]:
+        print(f"{dur / 3:9.3f} ms/run  x{counts[name] // 3:<4d} {name[:300]}")
 
 
 def main():

@@ -91,6 +91,32 @@ class ConvPosEmbed3d(nn.Module):
             x, deterministic=not train)
 
 
+class ConvPosEmbed2d(nn.Module):
+    """2D twin of the PEG (``Conv2dPosEmbedding``, trans_block.py:99-125).
+
+    Dead code in the reference (no call site; its docstring even still
+    claims 5D input, which nn.Conv2d would reject) — ported for 100%
+    symbol coverage. Input (N, H, W, C) channels-last; residual depthwise
+    kxk conv, then channel dropout (torch Dropout2d semantics: whole
+    channels, broadcast over H, W).
+    """
+
+    dim: int
+    dropout: float
+    emb_kernel: int = 3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        pos = nn.Conv(self.dim, (self.emb_kernel,) * 2,
+                      padding=self.emb_kernel // 2,
+                      feature_group_count=self.dim, dtype=self.dtype,
+                      name="proj")(x)
+        x = x + pos
+        return nn.Dropout(self.dropout, broadcast_dims=(1, 2))(
+            x, deterministic=not train)
+
+
 class _ProjParams(nn.Module):
     """Kernel+bias of one Q/K/V projection, declared without computing.
 

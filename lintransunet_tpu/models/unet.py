@@ -372,6 +372,13 @@ class ROIDecoder(nn.Module):
         layers = list(self.num_layers)
         nv = n_volumes
         folded = nv is not None
+        # Eval fast path (return_packed_logits is set ONLY by the caller
+        # branch that discards mask_list): the full-resolution 5D mask
+        # unfolds exist solely to feed mask_list; only the 1-channel
+        # foreground is consumed (by ROIBridge's bbox). Skip the full
+        # unfold and unfold just the foreground group — the mask conv
+        # still runs unconditionally so the param tree matches train.
+        need_mask = not self.return_packed_logits
 
         mask_p = pk.PackedConv(self.dim_output, layers[level + 1], mode="s1",
                                kernel_size=self.kernel_size, dtype=self.dtype,
@@ -379,16 +386,20 @@ class ROIDecoder(nn.Module):
                                    xp, n_volumes=nv, paired=paired)
         shape = mask_p.shape
         sub = (2, self.dim_output, 4) if paired else (self.dim_output, 4)
-        grouped = mask_p.reshape(shape[:-1] + sub)
-        grouped = nn.softmax(grouped.astype(jnp.float32), axis=-2)
-        grouped = grouped.reshape(shape).astype(jnp.float32)
-        if paired:
-            grouped = pc.unfold_pairs(grouped, nv)
-        if folded:
-            mask = pc.unfold_depth(pc.unpack_folded(grouped), nv)
-        else:
-            mask = pk.unpack(grouped)
-        mask_list.append(mask)
+        grouped = None
+        if need_mask or self.is_roi_list[level]:
+            grouped = nn.softmax(
+                mask_p.reshape(shape[:-1] + sub).astype(jnp.float32), axis=-2)
+        mask = None
+        if need_mask:
+            g = grouped.reshape(shape)
+            if paired:
+                g = pc.unfold_pairs(g, nv)
+            if folded:
+                mask = pc.unfold_depth(pc.unpack_folded(g), nv)
+            else:
+                mask = pk.unpack(g)
+            mask_list.append(mask)
 
         gate_p = pk.PackedSpatialAttentionGate(
             in_channel1=layers[level], in_channel2=layers[level + 1],
@@ -404,7 +415,20 @@ class ROIDecoder(nn.Module):
 
         if self.is_roi_list[level]:
             d_model = min(4 * layers[level], 256)
-            foreground = (1.0 - mask[..., 0:1]).astype(skip_p.dtype)
+            if need_mask:
+                foreground = (1.0 - mask[..., 0:1]).astype(skip_p.dtype)
+            else:
+                # unfold ONLY the foreground channel group (1/dim_output of
+                # the full-mask unfold the train path pays)
+                fg = 1.0 - grouped[..., 0, :]  # (..., [2,] 4)
+                fg = fg.reshape(shape[:-1] + ((8,) if paired else (4,)))
+                if paired:
+                    fg = pc.unfold_pairs(fg, nv)
+                if folded:
+                    fg5 = pc.unfold_depth(pc.unpack_folded(fg), nv)
+                else:
+                    fg5 = pk.unpack(fg)
+                foreground = fg5.astype(skip_p.dtype)
             skip_p4 = pc.unfold_pairs(skip_p, nv) if paired else skip_p
             if folded:
                 skip_5d = pc.unfold_depth(pc.unpack_folded(skip_p4), nv)

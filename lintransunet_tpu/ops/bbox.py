@@ -64,21 +64,24 @@ def min_max_indice2(hist: jnp.ndarray, threshold: float = 1e-5):
     return lo, hi, peak
 
 
-def _clamped_extent(lo, hi, centre, size_limit_lo, size_limit_hi, full):
+def _clamped_extent(lo, hi, centre, min_roi, full):
     """Vectorised port of the 4-way clamp in get_mask_boundary2 (lines 850-871).
 
-    The reference applies two sequential ``if``s whose conditions both read the
-    *pre-clamp* extent; a later rewrite wins when both fire. jnp.where nesting
-    reproduces that: the `too_big` branch is applied last, so it dominates.
+    Both reference clamps read the SAME ``min_roi`` limit: extents smaller
+    than ``min_roi`` are grown to it, extents larger than ``full - min_roi``
+    are shrunk to that (there is no separate max-ROI parameter in the
+    reference). The two sequential ``if``s both test the *pre-clamp* extent;
+    when ``full < 2*min_roi`` both fire and the later (`too_big`) rewrite
+    wins — the jnp.where ordering reproduces that (pinned by
+    tests/test_ops.py::test_mask_boundary_matches_reference_loop).
     """
     size = hi - lo
-    too_small = size < size_limit_lo
-    lo = jnp.where(too_small, jnp.maximum(centre - size_limit_lo / 2.0, 0.0), lo)
-    hi = jnp.where(too_small, jnp.minimum(centre + size_limit_lo / 2.0, full), hi)
-    too_big = size > (full - size_limit_lo)
-    lo = jnp.where(too_big, jnp.maximum(centre - (full - size_limit_lo) / 2.0, 0.0), lo)
-    hi = jnp.where(too_big, jnp.minimum(centre + (full - size_limit_lo) / 2.0, full), hi)
-    del size_limit_hi
+    too_small = size < min_roi
+    lo = jnp.where(too_small, jnp.maximum(centre - min_roi / 2.0, 0.0), lo)
+    hi = jnp.where(too_small, jnp.minimum(centre + min_roi / 2.0, full), hi)
+    too_big = size > (full - min_roi)
+    lo = jnp.where(too_big, jnp.maximum(centre - (full - min_roi) / 2.0, 0.0), lo)
+    hi = jnp.where(too_big, jnp.minimum(centre + (full - min_roi) / 2.0, full), hi)
     return lo, hi
 
 
@@ -98,8 +101,8 @@ def mask_boundary(mask: jnp.ndarray, min_h_roi: int, min_w_roi: int) -> jnp.ndar
     x0, x1, xc = vmapped(hist_x)
     y0, y1, yc = vmapped(hist_y)
 
-    x0, x1 = _clamped_extent(x0, x1, xc, float(min_h_roi), None, float(h))
-    y0, y1 = _clamped_extent(y0, y1, yc, float(min_w_roi), None, float(w))
+    x0, x1 = _clamped_extent(x0, x1, xc, float(min_h_roi), float(h))
+    y0, y1 = _clamped_extent(y0, y1, yc, float(min_w_roi), float(w))
 
     d = mask.shape[3]
     z0 = jnp.zeros((n,), jnp.float32)

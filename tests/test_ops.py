@@ -115,12 +115,21 @@ def test_mask_boundary_matches_reference_loop(rng):
                 out[i, 4] = torch.clamp(wc + (w - min_w) / 2, max=w)
         return out.numpy()
 
-    masks = (rng.random((4, 24, 20, 6)) > 0.97).astype(np.float32)
+    masks = (rng.random((5, 24, 20, 6)) > 0.97).astype(np.float32)
     masks[1] = 0  # empty mask path
     masks[2] = 1  # solid mask path (hits the too_big clamp)
+    # BOTH clamps fire: min_h=15 > h-min_h=9, and an extent of ~12 rows is
+    # simultaneously < 15 and > 9 — the reference's sequential ifs let the
+    # too_big rewrite win; this pins that ordering.
+    masks[3] = 0
+    masks[3, 6:18, 4:16, :] = 1
     got = ops.mask_boundary(jnp.asarray(masks), min_h_roi=15, min_w_roi=9)
     ref = torch_boundary(masks, 15, 9)
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+    # sanity: case 3 really drove both conditions on the H axis and the
+    # too_big rewrite won (final extent h-min_h=9, not min_h=15)
+    hs = ref[3, 3] - ref[3, 0]
+    assert hs == pytest.approx(9.0)
 
 
 def _torch_transfer_index(x0, x1, h, roi_size, eval_roi_size):
