@@ -128,12 +128,17 @@ def report(outdir, top):
                     continue
                 print(f"[plane '{plane.name}' line '{line.name}': "
                       f"{len(line.events)} events]", file=sys.stderr)
+                # The 'Async XLA Ops' line holds async WINDOWS (copy/
+                # collective start..done spans) that overlap sync compute;
+                # their durations are not additive cost. Bucket the whole
+                # line separately — counting it into agg double-counted
+                # ~200 ms/run on the train trace (round-4 fix).
+                is_async = "Async" in line.name
                 for ev in line.events:
                     name = ev_meta.get(ev.metadata_id, "?")
-                    # async copy windows span unrelated compute; their
-                    # duration is not cost — bucket them separately
-                    if name.startswith(("%copy-start", "%copy-done")):
-                        cats["async-copy(window)"] += ev.duration_ps / 1e9
+                    if is_async or name.startswith(("%copy-start",
+                                                    "%copy-done")):
+                        cats["async(window, not cost)"] += ev.duration_ps / 1e9
                         continue
                     dur = ev.duration_ps / 1e9  # ms
                     agg[name] += dur

@@ -74,42 +74,62 @@ def resolve_s1_formulation(c4: int, formulation: str = None) -> str:
     return f
 
 
+def _pack_selector(n_block: int, offset: int) -> np.ndarray:
+    """(n_block, 2, [2,] 3) constant 0/1 tensor S[B, a, (A,) h] = 1 iff the
+    original tap dh = 2*(B + offset) + a (- A) lands in [-1, 1], h = dh+1.
+
+    The kernel pack transforms were previously built with .at[].set()
+    advanced indexing, which XLA lowers to SCATTERS — the round-4 train
+    trace attributed ~20 ms/step to those scatters and their gather VJPs
+    (the transform differentiates every step in training). As einsums with
+    these tiny constants they are two small dots with matmul VJPs; each
+    output slot receives at most one term, so the result is bit-identical.
+    """
+    s = np.zeros((n_block, 2, 2, 3), np.float32)
+    for bi in range(n_block):
+        for a in range(2):
+            for alpha in range(2):
+                dh = 2 * (bi + offset) + a - alpha
+                if -1 <= dh <= 1:
+                    s[bi, a, alpha, dh + 1] = 1.0
+    return s
+
+
+_SEL_S1 = _pack_selector(3, -1)  # stride-1: dh = 2*(B-1) + a - A, tap dh+1
+
+
+def _sel_s2() -> np.ndarray:
+    """Stride-2 selector: (bi, a) -> RAW tap index 2*bi + a - 1 in [0, 2]
+    ((0,0) falls off the kernel), matching pack_kernel_stride2's taps map."""
+    s = np.zeros((2, 2, 3), np.float32)
+    for bi in range(2):
+        for a in range(2):
+            tap = 2 * bi + a - 1
+            if 0 <= tap <= 2:
+                s[bi, a, tap] = 1.0
+    return s
+
+
+_SEL_S2 = _sel_s2()
+
+
 def pack_kernel_stride1_jnp(kernel: jnp.ndarray) -> jnp.ndarray:
     """Traced-array version of pack_kernel_stride1 (for in-jit transforms of
-    live parameters; runs once per compilation)."""
+    live parameters; runs once per compilation). Scatter-free: two small
+    einsum contractions against constant 0/1 selectors (see _pack_selector).
+    """
     kh, kw, kd, c, o = kernel.shape
-    out = jnp.zeros((3, 3, kd, 4 * c, 4 * o), kernel.dtype)
-    ci_base = jnp.arange(c) * 4
-    co_base = jnp.arange(o) * 4
-    for di in (-1, 0, 1):
-        for dj in (-1, 0, 1):
-            for a in (0, 1):
-                for b in (0, 1):
-                    for alpha in (0, 1):
-                        for beta in (0, 1):
-                            dh = 2 * di + a - alpha
-                            dw = 2 * dj + b - beta
-                            if -1 <= dh <= 1 and -1 <= dw <= 1:
-                                ci = ci_base + a * 2 + b
-                                co = co_base + alpha * 2 + beta
-                                out = out.at[di + 1, dj + 1, :,
-                                             ci[:, None], co[None, :]].set(
-                                    kernel[dh + 1, dw + 1].transpose(1, 2, 0))
-    return out
+    s = jnp.asarray(_SEL_S1, kernel.dtype)
+    out = jnp.einsum("HaAh,WbBw,hwdco->HWdcaboAB", s, s, kernel)
+    return out.reshape(3, 3, kd, 4 * c, 4 * o)
 
 
 def pack_kernel_stride2_jnp(kernel: jnp.ndarray) -> jnp.ndarray:
-    """Traced-array version of pack_kernel_stride2."""
+    """Traced-array version of pack_kernel_stride2 (scatter-free einsum)."""
     kh, kw, kd, c, o = kernel.shape
-    out = jnp.zeros((2, 2, kd, 4 * c, o), kernel.dtype)
-    ci_base = jnp.arange(c) * 4
-    taps = {(0, 1): 0, (1, 0): 1, (1, 1): 2}
-    for (bi, a), dh in taps.items():
-        for (bj, b), dw in taps.items():
-            ci = ci_base + a * 2 + b
-            out = out.at[bi, bj, :, ci, :].set(
-                kernel[dh, dw].transpose(1, 0, 2))
-    return out
+    s = jnp.asarray(_SEL_S2, kernel.dtype)
+    out = jnp.einsum("Hah,Wbw,hwdco->HWdcabo", s, s, kernel)
+    return out.reshape(2, 2, kd, 4 * c, o)
 
 
 def pack_kernel_stride1_sheared_jnp(kernel: jnp.ndarray) -> jnp.ndarray:
