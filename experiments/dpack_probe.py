@@ -81,13 +81,19 @@ def dpack_kernel_s1(kernel: jnp.ndarray, p: int) -> jnp.ndarray:
 
 
 def dpack_conv3d_s1(xr: jnp.ndarray, kernel, bias=None, p: int = 8,
-                    n_volumes: int = 1) -> jnp.ndarray:
+                    n_volumes: int = 1,
+                    boundary: str = "wide") -> jnp.ndarray:
     """3x3x3 stride-1 conv on the dpack layout.
 
     xr: (N*Db, H, W, pC); kernel: raw (3, 3, 3, C, O). In-block dense conv
     + two boundary taps (kd=0 for g_out=0 reading g_in=p-1 of block b-1;
-    kd=2 for g_out=p-1 reading g_in=0 of block b+1) as (3,3,C,O) convs on
-    row-shifted single-slice views.
+    kd=2 for g_out=p-1 reading g_in=0 of block b+1).
+
+    boundary="narrow": the taps run as (3,3,C,O) convs on single-slice
+    views — minimal MACs but K=O=C (1/64 MXU fill at C=16: a measured
+    0.8 ms each at L0, dominating the whole conv). "wide": zero-pad the
+    tap kernels to full-K (3,3,pC,O) and run them on row-shifted FULL-lane
+    views — 8x the MACs at the in-block conv's ~155 TF/s rate, ~6x faster.
     """
     k = kernel.astype(xr.dtype)
     nb, h, w, pc_ = xr.shape
@@ -100,16 +106,31 @@ def dpack_conv3d_s1(xr: jnp.ndarray, kernel, bias=None, p: int = 8,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     x5 = xr.reshape(n_volumes, db, h, w, pc_)
-    prev_last = jnp.pad(x5[:, :-1, :, :, (p - 1) * c:],
-                        ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
-    next_first = jnp.pad(x5[:, 1:, :, :, :c],
-                         ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
-    up = jax.lax.conv_general_dilated(
-        prev_last.reshape(nb, h, w, c), k[:, :, 0], (1, 1),
-        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    dn = jax.lax.conv_general_dilated(
-        next_first.reshape(nb, h, w, c), k[:, :, 2], (1, 1),
-        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if boundary == "wide":
+        prev = jnp.pad(x5[:, :-1],
+                       ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+        nxt = jnp.pad(x5[:, 1:],
+                      ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+        zk = jnp.zeros((3, 3, (p - 1) * c, o), k.dtype)
+        kup = jnp.concatenate([zk, k[:, :, 0]], axis=2)  # reads g_in = p-1
+        kdn = jnp.concatenate([k[:, :, 2], zk], axis=2)  # reads g_in = 0
+        up = jax.lax.conv_general_dilated(
+            prev.reshape(nb, h, w, pc_), kup, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dn = jax.lax.conv_general_dilated(
+            nxt.reshape(nb, h, w, pc_), kdn, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    else:
+        prev_last = jnp.pad(x5[:, :-1, :, :, (p - 1) * c:],
+                            ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+        next_first = jnp.pad(x5[:, 1:, :, :, :c],
+                             ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+        up = jax.lax.conv_general_dilated(
+            prev_last.reshape(nb, h, w, c), k[:, :, 0], (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dn = jax.lax.conv_general_dilated(
+            next_first.reshape(nb, h, w, c), k[:, :, 2], (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
     y = y + jnp.concatenate(
         [up, jnp.zeros(up.shape[:-1] + ((p - 2) * o,), y.dtype), dn], axis=-1)
     if bias is not None:
@@ -131,10 +152,10 @@ def group_instance_norm_dpack(xr: jnp.ndarray, channels: int, p: int,
 
 # ------------------------------------------------------------------ chains
 
-def chain_dpack(xr, k, b, p):
+def chain_dpack(xr, k, b, p, boundary="wide"):
     c = k.shape[-2]
     for _ in range(N_CONVS):
-        y = dpack_conv3d_s1(xr, k, b, p=p)
+        y = dpack_conv3d_s1(xr, k, b, p=p, boundary=boundary)
         xr = ops.leaky_relu(group_instance_norm_dpack(y, c, p))
     return xr
 
@@ -194,7 +215,8 @@ def main():
               f"(scale {scale:.1f})")
 
         useful = 2 * h * w * d * 27 * c * o * N_CONVS
-        t_d = marginal(chain_dpack, xr, k, b, p)
+        t_d = marginal(lambda a1, a2, a3: chain_dpack(a1, a2, a3, p),
+                       xr, k, b)
         if ship == "paired":
             x8 = pc.fold_pairs(xfold, 1)
             t_s = marginal(chain_paired, x8, kp, bp)
@@ -203,6 +225,45 @@ def main():
         print(f"{name}: shipping {t_s*1e3:7.2f} ms ({useful/t_s/1e12:5.1f} "
               f"useful TF/s)   dpack {t_d*1e3:7.2f} ms "
               f"({useful/t_d/1e12:5.1f} TF/s)   ratio {t_s/t_d:.2f}x")
+
+        # --- decomposition: conv-only, in-block-only, stats-only
+        def conv_only(a1, a2, a3):
+            y = a1
+            for _ in range(N_CONVS):
+                y = dpack_conv3d_s1(y, a2, a3, p=p)
+            return y
+
+        def inblock_only(a1, a2):
+            y = a1
+            kk = dpack_kernel_s1(a2.astype(a1.dtype), p)
+            for _ in range(N_CONVS):
+                y = jax.lax.conv_general_dilated(
+                    y, kk, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y
+
+        def stats_only(a1):
+            y = a1
+            for _ in range(N_CONVS):
+                y = ops.leaky_relu(group_instance_norm_dpack(y, c, p))
+            return y
+
+        def ship_conv_only(a1, a2, a3):
+            y = a1
+            for _ in range(N_CONVS):
+                if ship == "paired":
+                    y = pc.packed_conv3d_stride1_paired(y, a2, a3,
+                                                        n_volumes=1)
+                else:
+                    y = pc.packed_conv3d_stride1_folded(y, a2, a3,
+                                                        n_volumes=1)
+            return y
+
+        t_nar = marginal(lambda a1, a2, a3: chain_dpack(a1, a2, a3, p,
+                                                        "narrow"), xr, k, b)
+        t_n = marginal(stats_only, xr)
+        print(f"{name}: dpack-wide chain {t_d*1e3:6.2f}  narrow chain "
+              f"{t_nar*1e3:6.2f}  stats-only {t_n*1e3:6.2f} ms")
 
 
 if __name__ == "__main__":
