@@ -1,0 +1,135 @@
+"""Correctness of the fused canvas conv kernel (ops/pallas_conv.py).
+
+Runs the Mosaic kernel in interpreter mode on CPU against the XLA packed
+conv ops (ops/packed_conv.py) that are themselves parity-tested against
+the torch reference (tests/test_ops.py, tests/test_models.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lintransunet_tpu.ops import packed_conv as pc
+from lintransunet_tpu.ops import pallas_conv as pcv
+from lintransunet_tpu.ops.conv import leaky_relu
+
+DT = jnp.float32  # interpret-mode numerics; bf16 is exercised on-chip
+
+
+def _mk(shape, seed=0, dtype=DT):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal(shape), dtype)
+
+
+def _ref_stats(y, n_volumes):
+    nd = y.shape[0]
+    yr = y.reshape(n_volumes, nd // n_volumes, *y.shape[1:]).astype(
+        jnp.float32)
+    su = yr.sum(axis=(1, 2, 3))
+    sq = (yr * yr).sum(axis=(1, 2, 3))
+    return jnp.stack([su, sq], axis=1)
+
+
+@pytest.mark.parametrize("n_volumes", [1, 2])
+def test_paired_matches_xla(n_volumes):
+    c, o, h, w, dp = 4, 4, 8, 8, 4
+    x8 = _mk((n_volumes * dp, h, w, 8 * c), 1)
+    k = _mk((3, 3, 3, c, o), 2) * 0.3
+    b = _mk((o,), 3) * 0.1
+    kp = pc.pack_kernel_stride1_jnp(k)
+    bp = pc.pack_bias_jnp(b)
+
+    ref = pc.packed_conv3d_stride1_paired(x8, kp, bp, n_volumes=n_volumes)
+
+    xc = pcv.to_canvas(x8, n_volumes)
+    y_c, stats = pcv.fused_s1_canvas(
+        xc, kp, bias=jnp.concatenate([bp, bp]), n_volumes=n_volumes,
+        h=h, w=w, mode="paired", want_stats=True, interpret=True,
+        compute_dtype=DT)
+    y = pcv.from_canvas(y_c, h, w, n_volumes)
+
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(stats),
+                               np.asarray(_ref_stats(ref, n_volumes)),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_folded_matches_xla():
+    c, o, h, w, dp, n = 32, 32, 8, 8, 4, 1
+    x4 = _mk((n * dp, h, w, 4 * c), 4)
+    k = _mk((3, 3, 3, c, o), 5) * 0.2
+    kp = pc.pack_kernel_stride1_jnp(k)
+
+    ref = pc.packed_conv3d_stride1_folded(x4, kp, None, n_volumes=n,
+                                          formulation="taps")
+
+    xc = pcv.to_canvas(x4, n)
+    y_c = pcv.fused_s1_canvas(xc, kp, n_volumes=n, h=h, w=w, mode="folded",
+                              want_stats=False, interpret=True,
+                              compute_dtype=DT)
+    y = pcv.from_canvas(y_c, h, w, n)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_prologue_matches_norm_act():
+    """Fused IN+LeakyReLU prologue == group_instance_norm + leaky_relu
+    before the conv."""
+    c, o, h, w, dp, n = 4, 4, 8, 8, 4, 2
+    y_prev = _mk((n * dp, h, w, 8 * c), 6)
+    k = _mk((3, 3, 3, c, o), 7) * 0.3
+    kp = pc.pack_kernel_stride1_jnp(k)
+
+    z_ref = leaky_relu(pc.group_instance_norm_paired(y_prev, c,
+                                                     n_volumes=n))
+    ref = pc.packed_conv3d_stride1_paired(z_ref, kp, None, n_volumes=n)
+
+    stats = _ref_stats(y_prev, n)
+    scale, shift = pcv.stats_to_affine(stats, c, dp * h * w * 8,
+                                       paired=True)
+    affine = jnp.stack([scale, shift], axis=1)  # (n, 2, L)
+
+    xc = pcv.to_canvas(y_prev, n)
+    y_c, z_c = pcv.fused_s1_canvas(
+        xc, kp, affine_a=affine, n_volumes=n, h=h, w=w, mode="paired",
+        want_stats=False, want_z=True, interpret=True, compute_dtype=DT)
+    y = pcv.from_canvas(y_c, h, w, n)
+    z = pcv.from_canvas(z_c, h, w, n)
+
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dual_matches_concat_conv():
+    """Dual-input mode == the conv of concat_paired(a, b) with the full
+    kernel (the UpBlock merge conv without materialising the concat)."""
+    ca, cb, o, h, w, dp, n = 4, 4, 4, 8, 8, 4, 1
+    a8 = _mk((n * dp, h, w, 8 * ca), 8)
+    b8 = _mk((n * dp, h, w, 8 * cb), 9)
+    k = _mk((3, 3, 3, ca + cb, o), 10) * 0.25
+    kp = pc.pack_kernel_stride1_jnp(k)  # (3,3,3, 4(ca+cb), 4o)
+
+    ref = pc.packed_conv3d_stride1_paired(
+        pc.concat_paired(a8, b8), kp, None, n_volumes=n)
+
+    ka = kp[:, :, :, :4 * ca, :]
+    kb = kp[:, :, :, 4 * ca:, :]
+    y_c = pcv.fused_s1_canvas(
+        pcv.to_canvas(a8, n), ka, xb=pcv.to_canvas(b8, n),
+        packed_kernel_b=kb, n_volumes=n, h=h, w=w, mode="paired",
+        want_stats=False, interpret=True, compute_dtype=DT)
+    y = pcv.from_canvas(y_c, h, w, n)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_canvas_roundtrip():
+    x = _mk((6, 8, 8, 16), 11)
+    xc = pcv.to_canvas(x, 2)
+    assert np.asarray(xc[0]).max() == 0  # leading pad slab
+    back = pcv.from_canvas(xc, 8, 8, 2)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
