@@ -677,6 +677,23 @@ def pair_kernel_stride1_jnp(packed_kernel: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def pair_kernel_stride1_bd_jnp(packed_kernel: jnp.ndarray) -> jnp.ndarray:
+    """Dense pack (3, 3, 3, 4C, 4O) -> block-diagonal BOUNDARY kernel
+    (3, 3, 8C, 8O) for the "bd" formulation.
+
+    Contracts the lane-concat [prev_g1 (4C), next_g0 (4C)] operand into
+    [up (4O), dn (4O)] in one full-width conv: [[kd=0, 0], [0, kd=2]].
+    Half the kernel is zeros (2x the useful boundary FLOPs) but the MXU
+    runs at the K=N=8C rate instead of 4C — a 2x time win wherever
+    4C < 128 (the round-4 trace clocks the 4C-wide boundary convs at
+    12-48 TF/s vs ~90+ for the dense 8C convs)."""
+    kp = packed_kernel
+    z = jnp.zeros_like(kp[:, :, 0])
+    top = jnp.concatenate([kp[:, :, 0], z], axis=-1)   # prev_g1 -> up
+    bot = jnp.concatenate([z, kp[:, :, 2]], axis=-1)   # next_g0 -> dn
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def pair_kernel_stride1_3d_jnp(packed_kernel: jnp.ndarray) -> jnp.ndarray:
     """Dense pack (3, 3, 3, 4C, 4O) -> 3-tap PAIR-row kernel
     (kp, kh, kw, 8C, 8O) for a single conv over (N, Dp, H2, W2, 8C).
@@ -704,7 +721,13 @@ def pair_kernel_stride1_3d_jnp(packed_kernel: jnp.ndarray) -> jnp.ndarray:
 # and runs them as 4C-wide 2D convs (~0.8 ms/window per pad fusion on the
 # eval trace); "3d" folds the boundary taps into one zero-blocked
 # (3, 3, 3, 8C, 8O) conv over (N, Dp, H2, W2, 8C) — 2x the in-pair FLOPs
-# at the full K=N=8C rate, zero copies. Frozen at import (trace-time flag).
+# at the full K=N=8C rate, zero copies (REFUTED round 4: -5%, the 5D conv
+# lowers worse than the 2D pair); "bd" keeps the pads operands but runs
+# BOTH boundary taps as one block-diagonal K=N=8C conv (same bytes as
+# pads, boundary convs at full MXU width); "ext" goes one further and
+# lane-concats [x8, prev_g1, next_g0] into a 16C operand for a SINGLE
+# K=16C conv (one stat-fusable output pass, but re-materialises x8's
+# lanes). Frozen at import (trace-time flag).
 PAIRED_S1_FORMULATION = os.environ.get("LINTRANSUNET_PAIRED_S1", "pads")
 
 
@@ -740,10 +763,10 @@ def packed_conv3d_stride1_paired(x8: jnp.ndarray, packed_kernel, bias=None,
     dp = ndp // n_volumes
     o4 = kp.shape[-1]
 
-    # in-pair: one dense K=N=8C conv (2 of 3 depth taps for every output)
-    y = jax.lax.conv_general_dilated(
-        x8, pair_kernel_stride1_jnp(kp), (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    def conv2d(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     # boundary taps: g_out=0 reads g=1 of pair r-1 (depth tap kd=0);
     # g_out=1 reads g=0 of pair r+1 (depth tap kd=2). Row shifts are
@@ -754,13 +777,29 @@ def packed_conv3d_stride1_paired(x8: jnp.ndarray, packed_kernel, bias=None,
                       ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
     next_g0 = jnp.pad(x5[:, 1:, :, :, :c4],
                       ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
-    up = jax.lax.conv_general_dilated(
-        prev_g1.reshape(ndp, h2, w2, c4), kp[:, :, 0], (1, 1),
-        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    dn = jax.lax.conv_general_dilated(
-        next_g0.reshape(ndp, h2, w2, c4), kp[:, :, 2], (1, 1),
-        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    y = y + jnp.concatenate([up, dn], axis=-1)
+
+    if formulation == "ext":
+        # one K=16C conv: [x8 | prev_g1 | next_g0] against the stacked
+        # [pair-kernel; block-diag boundary kernel]
+        x_ext = jnp.concatenate(
+            [x8, prev_g1.reshape(ndp, h2, w2, c4),
+             next_g0.reshape(ndp, h2, w2, c4)], axis=-1)
+        k_ext = jnp.concatenate(
+            [pair_kernel_stride1_jnp(kp), pair_kernel_stride1_bd_jnp(kp)],
+            axis=-2)
+        y = conv2d(x_ext, k_ext)
+    else:
+        # in-pair: one dense K=N=8C conv (2 of 3 depth taps per output)
+        y = conv2d(x8, pair_kernel_stride1_jnp(kp))
+        if formulation == "bd":
+            bd_in = jnp.concatenate(
+                [prev_g1.reshape(ndp, h2, w2, c4),
+                 next_g0.reshape(ndp, h2, w2, c4)], axis=-1)
+            y = y + conv2d(bd_in, pair_kernel_stride1_bd_jnp(kp))
+        else:  # "pads"
+            up = conv2d(prev_g1.reshape(ndp, h2, w2, c4), kp[:, :, 0])
+            dn = conv2d(next_g0.reshape(ndp, h2, w2, c4), kp[:, :, 2])
+            y = y + jnp.concatenate([up, dn], axis=-1)
     if bias is not None:
         b4 = bias.astype(y.dtype)
         y = y + jnp.concatenate([b4, b4], axis=-1)

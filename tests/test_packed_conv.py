@@ -716,6 +716,30 @@ def test_paired_stride1_3d_formulation_matches_pads(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_paired_stride1_bd_ext_formulations_match_pads(rng):
+    """The block-diagonal boundary-tap "bd" and the single-conv "ext"
+    paired formulations must equal the pad-based one — same function,
+    the boundary taps just run at the full K=N=8C (bd) / K=16C (ext)
+    MXU width instead of two 4C-wide convs."""
+    n, d, h2, w2, c, o = 2, 6, 5, 4, 3, 2
+    x = jnp.asarray(rng.standard_normal((n * d, h2, w2, 4 * c))
+                    .astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((3, 3, 3, c, o))
+                         .astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((o,)).astype(np.float32))
+    kp = pc.pack_kernel_stride1_jnp(kernel)
+    bp = pc.pack_bias_jnp(bias)
+    x8 = pc.fold_pairs(x, n)
+    ref = pc.packed_conv3d_stride1_paired(x8, kp, bp, n_volumes=n,
+                                          formulation="pads")
+    for formulation in ("bd", "ext"):
+        got = pc.packed_conv3d_stride1_paired(x8, kp, bp, n_volumes=n,
+                                              formulation=formulation)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=formulation)
+
+
 def test_in_stats_dot_matches_reduce(rng, monkeypatch):
     """IN_STATS=dot (ones-matvec sums + Gram-diagonal square sums on the
     MXU) must match the fused-reduction stats on all three IN variants —
