@@ -19,9 +19,13 @@ plus, at the UpBlock concat, two ~1.2 ms minor-major copies
     as a per-lane affine while the tile is already in VMEM (the stats come
     from the previous kernel's epilogue) — the normalized activation is
     never materialised in HBM;
-  * conv taps as row-shifted 2D matmuls on a flattened (rows, lanes) VMEM
-    view — the boundary depth taps read the neighbour depth-slab halves
-    directly from VMEM (no materialised shifted copies);
+  * conv taps as row-shifted FULL-WIDTH dots on a K-extended lane-concat
+    operand ([center | prev_g1 | next_g0] in paired mode, the 3 depth
+    slabs in folded): every (dh, dw) tap is ONE dot against the stacked
+    [pair; block-diagonal boundary] kernel, so the boundary taps run at
+    the MXU's full K instead of the 4C quarter rate;
+  * window DMAs are double-buffered: each grid step issues the NEXT
+    step's halo DMA before computing, hiding the HBM reads under the MXU;
   * epilogue: bias add + per-lane sum/sum-of-squares partials for the
     NEXT InstanceNorm (a VPU reduction overlapped with the MXU taps).
 
@@ -75,12 +79,18 @@ def canvas_dims(h: int, w: int, d: int, n_volumes: int,
     s = n_volumes * (d + 1) + 1
     wc = _rup(w + 2, 8)
     if hbo is None:
-        # largest block <= 40 rows that divides an Hc close to h + 2
-        hbo = None
-        for cand in range(min(40, h + 2), 2, -1):
-            if _rup(h + 2, cand) - (h + 2) <= 6:
+        # prefer the largest EXACT divisor of h + 2 in [8, 40] (zero
+        # padded-row waste: 26 at h=128, 33 at h=64); else the largest
+        # block <= 40 rows that divides an Hc close to h + 2
+        for cand in range(min(40, h + 2), 7, -1):
+            if (h + 2) % cand == 0:
                 hbo = cand
                 break
+        if hbo is None:
+            for cand in range(min(40, h + 2), 2, -1):
+                if _rup(h + 2, cand) - (h + 2) <= 6:
+                    hbo = cand
+                    break
         hbo = hbo or (h + 2)
     hc = _rup(h + 2, hbo)
     return s, hc, wc, hbo
@@ -144,22 +154,24 @@ def stats_to_affine(stats: jnp.ndarray, channels: int, count: int,
 # The kernel
 # --------------------------------------------------------------------------
 
-def _dma_window(x_ref, scratch, sems, r, h0, hbo, hb, n_hb):
-    """Fill scratch (3, hbo+2, Wc, L) with canvas rows [h0-1, h0+hbo+1) of
-    slabs r-1..r+1. Missing halo rows (grid edges) are zero — identical to
-    the canvas frame they fall outside of."""
-    body = pltpu.make_async_copy(
-        x_ref.at[pl.ds(r - 1, 3), pl.ds(h0, hbo)],
-        scratch.at[:, 1:hbo + 1], sems.at[0])
-    body.start()
+def _issue_window(x_ref, scratch, sems, r, h0, hbo, hb, n_hb, s):
+    """START the halo DMAs for window (r, hb) into a scratch buffer.
+
+    scratch (3, hbo+2, Wc, L) gets canvas rows [h0-1, h0+hbo+1) of slabs
+    r-1..r+1. Missing halo rows (grid edges) are zero-filled — identical
+    to the canvas frame they fall outside of. The slab range is clamped
+    for the always-pad r=0 / r=s-1 steps (their windows are never
+    computed on, but the prefetcher issues them unconditionally)."""
+    rc = jnp.clip(r, 1, s - 2)
+    pltpu.make_async_copy(
+        x_ref.at[pl.ds(rc - 1, 3), pl.ds(h0, hbo)],
+        scratch.at[:, 1:hbo + 1], sems.at[0]).start()
 
     @pl.when(hb > 0)
     def _():
-        top = pltpu.make_async_copy(
-            x_ref.at[pl.ds(r - 1, 3), pl.ds(h0 - 1, 1)],
-            scratch.at[:, 0:1], sems.at[1])
-        top.start()
-        top.wait()
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(rc - 1, 3), pl.ds(h0 - 1, 1)],
+            scratch.at[:, 0:1], sems.at[1]).start()
 
     @pl.when(hb == 0)
     def _():
@@ -167,23 +179,41 @@ def _dma_window(x_ref, scratch, sems, r, h0, hbo, hb, n_hb):
 
     @pl.when(hb < n_hb - 1)
     def _():
-        bot = pltpu.make_async_copy(
-            x_ref.at[pl.ds(r - 1, 3), pl.ds(h0 + hbo, 1)],
-            scratch.at[:, hbo + 1:hbo + 2], sems.at[2])
-        bot.start()
-        bot.wait()
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(rc - 1, 3), pl.ds(h0 + hbo, 1)],
+            scratch.at[:, hbo + 1:hbo + 2], sems.at[2]).start()
 
     @pl.when(hb == n_hb - 1)
     def _():
         scratch[:, hbo + 1:hbo + 2] = jnp.zeros_like(
             scratch[:, hbo + 1:hbo + 2])
 
-    body.wait()
+
+def _wait_window(x_ref, scratch, sems, r, h0, hbo, hb, n_hb, s):
+    """WAIT on the DMAs issued by _issue_window for the same (r, hb)
+    (the descriptors are reconstructed — identical slices, same sems)."""
+    rc = jnp.clip(r, 1, s - 2)
+    pltpu.make_async_copy(
+        x_ref.at[pl.ds(rc - 1, 3), pl.ds(h0, hbo)],
+        scratch.at[:, 1:hbo + 1], sems.at[0]).wait()
+
+    @pl.when(hb > 0)
+    def _():
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(rc - 1, 3), pl.ds(h0 - 1, 1)],
+            scratch.at[:, 0:1], sems.at[1]).wait()
+
+    @pl.when(hb < n_hb - 1)
+    def _():
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(rc - 1, 3), pl.ds(h0 + hbo, 1)],
+            scratch.at[:, hbo + 1:hbo + 2], sems.at[2]).wait()
 
 
-def _prologue(scratch, affine_ref, cfg, r, h0):
-    """Apply act((x*scale + shift)) * pad_mask in place on the scratch
-    window; returns nothing (scratch holds z afterwards)."""
+def _prologued(x3, affine_ref, cfg, r, h0):
+    """act(x*scale + shift) * pad_mask over the (3, hbo+2, Wc, L) window
+    value; the masks rebuild the canvas zero frame that the affine shift
+    would otherwise pollute. Returns the window in compute dtype."""
     hbo, wc = cfg["hbo"], cfg["wc"]
     h, w, dp1 = cfg["h"], cfg["w"], cfg["d"] + 1
     scale = affine_ref[0, 0][None, None, :]   # (1, 1, L), f32
@@ -192,55 +222,51 @@ def _prologue(scratch, affine_ref, cfg, r, h0):
     cols = jax.lax.broadcasted_iota(jnp.int32, (hbo + 2, wc), 1)
     rcmask = ((rows >= 1) & (rows <= h) & (cols >= 1)
               & (cols <= w)).astype(jnp.float32)[:, :, None]
+    outs = []
     for dr in range(3):
-        x = scratch[dr].astype(jnp.float32)
+        x = x3[dr].astype(jnp.float32)
         z = x * scale + shift
         z = jnp.where(z >= 0, z, z * NEG_SLOPE)
         slab_ok = (((r - 1 + dr) % dp1) != 0).astype(jnp.float32)
-        scratch[dr] = (z * (rcmask * slab_ok)).astype(scratch.dtype)
+        outs.append((z * (rcmask * slab_ok)).astype(cfg["cdtype"]))
+    return jnp.stack(outs)
 
 
-def _taps(z2, kernels, cfg, lane_lo=None, lane_hi=None):
-    """Accumulate all conv taps for one input tensor.
+def _lane_ext(z3, cfg, la):
+    """Window (3, hbo+2, Wc, La) -> the K-extended tap operand
+    ((hbo+2)*Wc, KL): lane-concat of the tap sources so every tap is ONE
+    full-width dot against the stacked kernel (see _prep_ke). Paired KL =
+    2*La ([center | prev_g1 | next_g0]); folded KL = 3*La."""
+    hbo, wc = cfg["hbo"], cfg["wc"]
+    if cfg["paired"]:
+        c4 = la // 2
+        ze = jnp.concatenate(
+            [z3[1], z3[0, :, :, c4:], z3[2, :, :, :c4]], axis=-1)
+    else:
+        ze = jnp.concatenate([z3[0], z3[1], z3[2]], axis=-1)
+    return ze.reshape((hbo + 2) * wc, ze.shape[-1])
 
-    z2: (3, (hbo+2)*Wc, L) flattened prologued window.
-    kernels: dict with 'pair' (3,3,8C,8O) + 'up'/'dn' (3,3,4C,4O) in
-    paired mode, or 'full' (3,3,3,4C,4O) (kh, kw, kd order) in folded.
-    Returns (M, No) f32 with M = hbo*Wc.
-    """
+
+def _taps_ext(ze2, ke, cfg):
+    """All 9 (dh, dw) conv taps as row-shifted full-K dots.
+
+    ze2: ((hbo+2)*Wc, KL) K-extended operand; ke: (3, 3, KL, No).
+    Returns (M, No) f32 with M = hbo*Wc. Corner overhang rows are clipped
+    (they only feed zero-frame outputs, masked at the write)."""
     hbo, wc = cfg["hbo"], cfg["wc"]
     m = hbo * wc
-    paired = "pair" in kernels
     acc = None
     for dh in (-1, 0, 1):
         for dw in (-1, 0, 1):
             s = (1 + dh) * wc + dw
-            # corner overhang: the clipped rows only feed zero-frame
-            # outputs (masked at the write)
-            lo_clip = max(0, -s)
-            hi_clip = max(0, s + m - z2.shape[1])
-            ln = m - lo_clip - hi_clip
-            sl = s + lo_clip
-
-            def dot(x, k):
-                return jax.lax.dot_general(
-                    x, k, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-
-            if paired:
-                part = dot(z2[1, sl:sl + ln], kernels["pair"][dh + 1, dw + 1])
-                c4 = kernels["up"].shape[2]
-                up = dot(z2[0, sl:sl + ln, c4:], kernels["up"][dh + 1, dw + 1])
-                dn = dot(z2[2, sl:sl + ln, :c4], kernels["dn"][dh + 1, dw + 1])
-                part = part + jnp.concatenate([up, dn], axis=-1)
-            else:
-                part = dot(z2[0, sl:sl + ln], kernels["full"][dh + 1, dw + 1, 0])
-                part = part + dot(z2[1, sl:sl + ln],
-                                  kernels["full"][dh + 1, dw + 1, 1])
-                part = part + dot(z2[2, sl:sl + ln],
-                                  kernels["full"][dh + 1, dw + 1, 2])
-            if lo_clip or hi_clip:
-                part = jnp.pad(part, ((lo_clip, hi_clip), (0, 0)))
+            lo = max(0, -s)
+            hi = max(0, s + m - ze2.shape[0])
+            part = jax.lax.dot_general(
+                ze2[s + lo: s + m - hi], ke[dh + 1, dw + 1],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if lo or hi:
+                part = jnp.pad(part, ((lo, hi), (0, 0)))
             acc = part if acc is None else acc + part
     return acc
 
@@ -248,8 +274,9 @@ def _taps(z2, kernels, cfg, lane_lo=None, lane_hi=None):
 def _build_kernel(cfg):
     hbo, wc, no = cfg["hbo"], cfg["wc"], cfg["no"]
     h, w, dp1, n_hb = cfg["h"], cfg["w"], cfg["d"] + 1, cfg["n_hb"]
+    s = cfg["s"]
     dual = cfg["dual"]
-    m = hbo * wc
+    total = s * n_hb
 
     def kernel(*refs):
         i = 0
@@ -257,12 +284,10 @@ def _build_kernel(cfg):
         xb_ref = None
         if dual:
             xb_ref = refs[i]; i += 1
-        ka = {}
-        for name in cfg["ka_names"]:
-            ka[name] = refs[i][...]; i += 1
-        kb = {}
-        for name in cfg["kb_names"]:
-            kb[name] = refs[i][...]; i += 1
+        kea_ref = refs[i]; i += 1
+        keb_ref = None
+        if dual:
+            keb_ref = refs[i]; i += 1
         aff_a = refs[i] if cfg["affine_a"] else None
         i += 1 if cfg["affine_a"] else 0
         aff_b = refs[i] if cfg["affine_b"] else None
@@ -279,12 +304,46 @@ def _build_kernel(cfg):
         sa = refs[i]; i += 1
         sb = refs[i] if dual else None
         i += 1 if dual else 0
-        sems = refs[i]
+        sems_a = refs[i]; i += 1
+        sems_b = refs[i] if dual else None
 
         r = pl.program_id(0)
         hb = pl.program_id(1)
+        idx = r * n_hb + hb
         h0 = hb * hbo
+        buf = jax.lax.rem(idx, 2)
         data_slab = (r % dp1) != 0
+
+        # --- double-buffered prefetch: this step's window was issued by
+        # the previous step (or right here at idx 0); issue the NEXT
+        # step's window before computing so its DMA rides under the MXU.
+        @pl.when(idx == 0)
+        def _():
+            _issue_window(xa_ref, sa.at[0], sems_a.at[0],
+                          r, h0, hbo, hb, n_hb, s)
+            if dual:
+                _issue_window(xb_ref, sb.at[0], sems_b.at[0],
+                              r, h0, hbo, hb, n_hb, s)
+
+        last_hb = hb == n_hb - 1
+        r1 = jnp.where(last_hb, r + 1, r)
+        hb1 = jnp.where(last_hb, 0, hb + 1)
+        h01 = hb1 * hbo
+        nbuf = jax.lax.rem(idx + 1, 2)
+
+        @pl.when(idx + 1 < total)
+        def _():
+            _issue_window(xa_ref, sa.at[nbuf], sems_a.at[nbuf],
+                          r1, h01, hbo, hb1, n_hb, s)
+            if dual:
+                _issue_window(xb_ref, sb.at[nbuf], sems_b.at[nbuf],
+                              r1, h01, hbo, hb1, n_hb, s)
+
+        _wait_window(xa_ref, sa.at[buf], sems_a.at[buf],
+                     r, h0, hbo, hb, n_hb, s)
+        if dual:
+            _wait_window(xb_ref, sb.at[buf], sems_b.at[buf],
+                         r, h0, hbo, hb, n_hb, s)
 
         @pl.when(jnp.logical_not(data_slab))
         def _():
@@ -301,21 +360,19 @@ def _build_kernel(cfg):
 
         @pl.when(data_slab)
         def _():
-            _dma_window(xa_ref, sa, sems, r, h0, hbo, hb, n_hb)
-            if dual:
-                _dma_window(xb_ref, sb, sems, r, h0, hbo, hb, n_hb)
-            if cfg["affine_a"]:
-                _prologue(sa, aff_a, cfg, r, h0)
-            if dual and cfg["affine_b"]:
-                _prologue(sb, aff_b, cfg, r, h0)
+            def window(sref, aff, has_affine):
+                x3 = sref[buf]
+                if has_affine:
+                    return _prologued(x3, aff, cfg, r, h0)
+                return x3.astype(cfg["cdtype"])
 
-            za = sa[...].astype(cfg["cdtype"])
-            za2 = za.reshape(3, (hbo + 2) * wc, za.shape[-1])
-            acc = _taps(za2, ka, cfg)
+            za3 = window(sa, aff_a, cfg["affine_a"])
+            acc = _taps_ext(_lane_ext(za3, cfg, za3.shape[-1]),
+                            kea_ref[...], cfg)
             if dual:
-                zb = sb[...].astype(cfg["cdtype"])
-                zb2 = zb.reshape(3, (hbo + 2) * wc, zb.shape[-1])
-                acc = acc + _taps(zb2, kb, cfg)
+                zb3 = window(sb, aff_b, cfg["affine_b"])
+                acc = acc + _taps_ext(_lane_ext(zb3, cfg, zb3.shape[-1]),
+                                      keb_ref[...], cfg)
             if bias_ref is not None:
                 acc = acc + bias_ref[0].astype(jnp.float32)[None]
 
@@ -334,7 +391,7 @@ def _build_kernel(cfg):
                 stats_ref[0, 0, :] = stats_ref[0, 0, :] + su
                 stats_ref[0, 1, :] = stats_ref[0, 1, :] + sq
             if z_ref is not None:
-                z_ref[0] = sa[1, 1:hbo + 1]
+                z_ref[0] = za3[1, 1:hbo + 1].astype(z_ref.dtype)
 
     return kernel
 
@@ -371,38 +428,38 @@ def fused_s1_canvas(xa, packed_kernel, xb=None, packed_kernel_b=None,
     dt = xa.dtype
 
     def prep(pk):
+        """Dense pack (3,3,3,4C,4O) -> the K-extended tap kernel matching
+        _lane_ext's operand: paired (3,3,2*8C,8O) = [pair; blockdiag
+        boundary] stacked on K; folded (3,3,3*4C,4O) = the kd taps
+        stacked on K."""
         pk = pk.astype(compute_dtype)
         if paired:
-            kp = pc.pair_kernel_stride1_jnp(pk)  # (3, 3, 8C, 8O)
-            return {"pair": kp, "up": pk[:, :, 0], "dn": pk[:, :, 2]}
-        # folded: (3,3,3,4C,4O) already (kh, kw, kd, I, O)
-        return {"full": pk}
+            return jnp.concatenate(
+                [pc.pair_kernel_stride1_jnp(pk),
+                 pc.pair_kernel_stride1_bd_jnp(pk)], axis=-2)
+        return jnp.concatenate([pk[:, :, kd] for kd in range(3)], axis=-2)
 
     dual = xb is not None
-    if dual:
-        ka_k = prep(packed_kernel)
-        kb_k = prep(packed_kernel_b)
-    else:
-        ka_k, kb_k = prep(packed_kernel), {}
-    no = (ka_k["pair"].shape[-1] if paired else ka_k["full"].shape[-1])
+    kea = prep(packed_kernel)
+    keb = prep(packed_kernel_b) if dual else None
+    no = kea.shape[-1]
 
     cfg = {
-        "hbo": hbo, "wc": wc, "no": no, "h": h, "w": w, "d": d,
-        "n_hb": n_hb, "dual": dual, "affine_a": affine_a is not None,
+        "hbo": hbo, "wc": wc, "no": no, "h": h, "w": w, "d": d, "s": s,
+        "n_hb": n_hb, "dual": dual, "paired": paired,
+        "affine_a": affine_a is not None,
         "affine_b": affine_b is not None, "bias": bias is not None,
         "stats": want_stats, "zout": want_z, "dtype": dt,
         "cdtype": compute_dtype,
-        "ka_names": tuple(ka_k), "kb_names": tuple(kb_k),
     }
 
     grid = (s, n_hb)
     in_arrays = [xa] + ([xb] if dual else [])
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(in_arrays)
-    for name in cfg["ka_names"]:
-        in_arrays.append(ka_k[name])
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    for name in cfg["kb_names"]:
-        in_arrays.append(kb_k[name])
+    in_arrays.append(kea)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if dual:
+        in_arrays.append(keb)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     dp1 = d + 1
     vmap_idx = lambda r, hb: (jnp.maximum(r, 1) - 1) // dp1  # noqa: E731
@@ -433,10 +490,12 @@ def fused_s1_canvas(xa, packed_kernel, xb=None, packed_kernel_b=None,
                                       lambda r, hb: (r, hb, 0, 0),
                                       memory_space=pltpu.VMEM))
 
-    scratch = [pltpu.VMEM((3, hbo + 2, wc, la), dt)]
+    scratch = [pltpu.VMEM((2, 3, hbo + 2, wc, la), dt)]
     if dual:
-        scratch.append(pltpu.VMEM((3, hbo + 2, wc, xb.shape[-1]), dt))
-    scratch.append(pltpu.SemaphoreType.DMA((3,)))
+        scratch.append(pltpu.VMEM((2, 3, hbo + 2, wc, xb.shape[-1]), dt))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 3)))
+    if dual:
+        scratch.append(pltpu.SemaphoreType.DMA((2, 3)))
 
     out = pl.pallas_call(
         _build_kernel(cfg),
