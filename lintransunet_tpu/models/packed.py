@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from lintransunet_tpu import ops
 from lintransunet_tpu.ops import packed_conv as pc
+from lintransunet_tpu.ops import pallas_conv as pcv
 
 Array = jnp.ndarray
 
@@ -108,12 +109,16 @@ class PackedConv(nn.Module):
 
     @nn.compact
     def __call__(self, xp: Array, n_volumes: Optional[int] = None,
-                 paired: bool = False) -> Array:
+                 paired: bool = False,
+                 return_packed: bool = False) -> Array:
         """``n_volumes=None``: packed 5D layout (N, H2, W2, D, 4C).
         ``n_volumes=n``: FOLDED layout (n*D, H2, W2, 4C) — same params, the
         transpose-free ops from ops/packed_conv.py. ``paired=True`` (folded
         only): the 8C depth-pair layout (n*D/2, H2, W2, 8C); s2 convs must
-        take the folded layout (the strided output leaves the pair grid)."""
+        take the folded layout (the strided output leaves the pair grid).
+        ``return_packed=True`` (s1 only): return (dense_packed_kernel,
+        packed_bias) instead of applying — the fused canvas path
+        (ops/pallas_conv.py) orchestrates the conv chain itself."""
         use_sheared = (
             self.mode == "s1" and n_volumes is not None
             and pc.resolve_s1_formulation(4 * self.in_features) == "sheared")
@@ -140,6 +145,11 @@ class PackedConv(nn.Module):
         pre_sheared = self.mode != "s2" and kernel.shape[0] == 2
         assert not (paired and n_volumes is None), \
             "paired layout requires the folded regime"
+        if return_packed:
+            assert self.mode == "s1" and not (use_sheared or pre_sheared), \
+                "return_packed serves the dense s1 canvas path only"
+            kp = kernel if pre_dense else pc.pack_kernel_stride1_jnp(kernel)
+            return kp, pc.pack_bias_jnp(bias)
         if self.mode == "s1":
             bp = pc.pack_bias_jnp(bias)
             if n_volumes is not None:
@@ -215,18 +225,44 @@ class PackedDownBlock(nn.Module):
     @nn.compact
     def __call__(self, xp: Array, train: bool = False,
                  n_volumes: Optional[int] = None, paired: bool = False):
-        y = PackedConv(self.in_channels, self.in_channels, mode="s1",
-                       kernel_size=self.kernel_size, dtype=self.dtype,
-                       name="conv1")(xp, n_volumes=n_volumes, paired=paired)
-        if paired:
-            y = ops.leaky_relu(pc.group_instance_norm_paired(
-                y, self.in_channels, n_volumes=n_volumes))
-        elif n_volumes is not None:
-            y = ops.leaky_relu(pc.group_instance_norm_folded(
-                y, self.in_channels, n_volumes=n_volumes))
+        fmode = (pcv.fused_s1_mode(train, n_volumes)
+                 if self.kernel_size == 3 else None)
+        if fmode is not None:
+            # fused canvas unit: conv1 runs as ONE Mosaic pass with the IN
+            # stat partials in its epilogue; the normalize+act applies as
+            # an XLA affine (no separate stat-reduce pass)
+            kp1, bp1 = PackedConv(
+                self.in_channels, self.in_channels, mode="s1",
+                kernel_size=self.kernel_size, dtype=self.dtype,
+                name="conv1")(xp, n_volumes=n_volumes, paired=paired,
+                              return_packed=True)
+            h2, w2 = xp.shape[1], xp.shape[2]
+            dpv = xp.shape[0] // n_volumes
+            bias_l = jnp.concatenate([bp1, bp1]) if paired else bp1
+            y1c, st = pcv.fused_s1_canvas(
+                pcv.to_canvas(xp, n_volumes), kp1.astype(xp.dtype),
+                bias=bias_l, n_volumes=n_volumes, h=h2, w=w2,
+                mode="paired" if paired else "folded", want_stats=True,
+                interpret=fmode)
+            count = dpv * h2 * w2 * (8 if paired else 4)
+            sc, sh = pcv.stats_to_affine(st, self.in_channels, count,
+                                         paired=paired)
+            y = pcv.apply_affine_leaky(
+                pcv.from_canvas(y1c, h2, w2, n_volumes), sc, sh, n_volumes)
         else:
-            y = ops.leaky_relu(
-                pc.group_instance_norm_packed(y, self.in_channels))
+            y = PackedConv(self.in_channels, self.in_channels, mode="s1",
+                           kernel_size=self.kernel_size, dtype=self.dtype,
+                           name="conv1")(xp, n_volumes=n_volumes,
+                                         paired=paired)
+            if paired:
+                y = ops.leaky_relu(pc.group_instance_norm_paired(
+                    y, self.in_channels, n_volumes=n_volumes))
+            elif n_volumes is not None:
+                y = ops.leaky_relu(pc.group_instance_norm_folded(
+                    y, self.in_channels, n_volumes=n_volumes))
+            else:
+                y = ops.leaky_relu(
+                    pc.group_instance_norm_packed(y, self.in_channels))
         if self.is_res:
             y = y + xp
         # the strided downsample's output leaves the pair grid (its depth
@@ -271,16 +307,64 @@ class PackedUpBlock(nn.Module):
                     t, self.out_channels, n_volumes=n_volumes)
             return pc.group_instance_norm_packed(t, self.out_channels)
 
-        x = PackedConv(self.out_channels, self.in_channels, mode="s1",
-                       kernel_size=self.kernel_size, dtype=self.dtype,
-                       name="conv1")(xp, n_volumes=n_volumes, paired=paired)
-        x = ops.leaky_relu(norm(x))
-        x = (pc.concat_paired(x, skip_p) if paired
-             else jnp.concatenate([x, skip_p], axis=-1))
-        x = PackedConv(self.out_channels, 2 * self.out_channels, mode="s1",
-                       kernel_size=self.kernel_size, dtype=self.dtype,
-                       name="conv2")(x, n_volumes=n_volumes, paired=paired)
-        x = ops.leaky_relu(norm(x))
+        fmode = (pcv.fused_s1_mode(train, n_volumes)
+                 if self.kernel_size == 3 else None)
+        if fmode is not None:
+            # fused canvas chain: conv1's IN+act rides conv2's prologue,
+            # and conv2 runs DUAL-input (y1, skip) — the skip concat (and
+            # its minor-major copies) never materialises
+            kp1, bp1 = PackedConv(
+                self.out_channels, self.in_channels, mode="s1",
+                kernel_size=self.kernel_size, dtype=self.dtype,
+                name="conv1")(xp, n_volumes=n_volumes, paired=paired,
+                              return_packed=True)
+            kp2, bp2 = PackedConv(
+                self.out_channels, 2 * self.out_channels, mode="s1",
+                kernel_size=self.kernel_size, dtype=self.dtype,
+                name="conv2")(xp, n_volumes=n_volumes, paired=paired,
+                              return_packed=True)
+            h2, w2 = xp.shape[1], xp.shape[2]
+            dpv = xp.shape[0] // n_volumes
+            mode = "paired" if paired else "folded"
+            count = dpv * h2 * w2 * (8 if paired else 4)
+
+            def lanes(b4):
+                return jnp.concatenate([b4, b4]) if paired else b4
+
+            y1c, st1 = pcv.fused_s1_canvas(
+                pcv.to_canvas(xp, n_volumes), kp1.astype(xp.dtype),
+                bias=lanes(bp1), n_volumes=n_volumes, h=h2, w=w2,
+                mode=mode, want_stats=True, interpret=fmode)
+            sc1, sh1 = pcv.stats_to_affine(st1, self.out_channels, count,
+                                           paired=paired)
+            half = kp2.shape[3] // 2  # split the concat kernel by input rows
+            y2c, st2 = pcv.fused_s1_canvas(
+                y1c, kp2[:, :, :, :half].astype(xp.dtype),
+                xb=pcv.to_canvas(skip_p, n_volumes),
+                packed_kernel_b=kp2[:, :, :, half:].astype(xp.dtype),
+                bias=lanes(bp2),
+                affine_a=jnp.stack([sc1, sh1], axis=1),
+                n_volumes=n_volumes, h=h2, w=w2, mode=mode,
+                want_stats=True, hbo=pcv.pick_hbo(h2, 22),
+                interpret=fmode)
+            sc2, sh2 = pcv.stats_to_affine(st2, self.out_channels, count,
+                                           paired=paired)
+            x = pcv.apply_affine_leaky(
+                pcv.from_canvas(y2c, h2, w2, n_volumes), sc2, sh2,
+                n_volumes)
+        else:
+            x = PackedConv(self.out_channels, self.in_channels, mode="s1",
+                           kernel_size=self.kernel_size, dtype=self.dtype,
+                           name="conv1")(xp, n_volumes=n_volumes,
+                                         paired=paired)
+            x = ops.leaky_relu(norm(x))
+            x = (pc.concat_paired(x, skip_p) if paired
+                 else jnp.concatenate([x, skip_p], axis=-1))
+            x = PackedConv(self.out_channels, 2 * self.out_channels,
+                           mode="s1", kernel_size=self.kernel_size,
+                           dtype=self.dtype, name="conv2")(
+                               x, n_volumes=n_volumes, paired=paired)
+            x = ops.leaky_relu(norm(x))
         if self.dropout is not None:
             x = nn.Dropout(self.dropout)(x, deterministic=not train)
         return x

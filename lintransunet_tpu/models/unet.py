@@ -18,6 +18,7 @@ from lintransunet_tpu.models import packed as pk
 from lintransunet_tpu.models.blocks import DownBlock, SpatialAttentionGate, UpBlock, _conv
 from lintransunet_tpu.models.bridges import ConnectBridge, InitialBridge, ROIBridge
 from lintransunet_tpu.ops import packed_conv as pc
+from lintransunet_tpu.ops import pallas_conv as pcv
 
 Array = jnp.ndarray
 
@@ -104,20 +105,43 @@ class Encoder(nn.Module):
                     xp = pc.fold_pairs(xp, n)
             else:
                 xp = pk.pack(x)
-            xp = pk.PackedConv(self.num_layers[0],
-                               self.dim_input * self.emb_window ** 2,
-                               mode="s1", kernel_size=self.kernel_size,
-                               dtype=self.dtype, name="input_block")(
-                                   xp, n_volumes=nv, paired=p0)
-            if p0:
-                xp = ops.leaky_relu(pc.group_instance_norm_paired(
-                    xp, self.num_layers[0], n_volumes=n))
-            elif folded:
-                xp = ops.leaky_relu(pc.group_instance_norm_folded(
-                    xp, self.num_layers[0], n_volumes=n))
+            fmode = (pcv.fused_s1_mode(train, nv)
+                     if self.kernel_size == 3 else None)
+            if fmode is not None:
+                kp0, bp0 = pk.PackedConv(
+                    self.num_layers[0],
+                    self.dim_input * self.emb_window ** 2,
+                    mode="s1", kernel_size=self.kernel_size,
+                    dtype=self.dtype, name="input_block")(
+                        xp, n_volumes=nv, paired=p0, return_packed=True)
+                h2, w2 = xp.shape[1], xp.shape[2]
+                dpv = xp.shape[0] // n
+                yc, st = pcv.fused_s1_canvas(
+                    pcv.to_canvas(xp, n), kp0.astype(xp.dtype),
+                    bias=jnp.concatenate([bp0, bp0]) if p0 else bp0,
+                    n_volumes=n, h=h2, w=w2,
+                    mode="paired" if p0 else "folded", want_stats=True,
+                    interpret=fmode)
+                sc, sh = pcv.stats_to_affine(
+                    st, self.num_layers[0], dpv * h2 * w2 * (8 if p0 else 4),
+                    paired=p0)
+                xp = pcv.apply_affine_leaky(
+                    pcv.from_canvas(yc, h2, w2, n), sc, sh, n)
             else:
-                xp = ops.leaky_relu(
-                    pc.group_instance_norm_packed(xp, self.num_layers[0]))
+                xp = pk.PackedConv(self.num_layers[0],
+                                   self.dim_input * self.emb_window ** 2,
+                                   mode="s1", kernel_size=self.kernel_size,
+                                   dtype=self.dtype, name="input_block")(
+                                       xp, n_volumes=nv, paired=p0)
+                if p0:
+                    xp = ops.leaky_relu(pc.group_instance_norm_paired(
+                        xp, self.num_layers[0], n_volumes=n))
+                elif folded:
+                    xp = ops.leaky_relu(pc.group_instance_norm_folded(
+                        xp, self.num_layers[0], n_volumes=n))
+                else:
+                    xp = ops.leaky_relu(
+                        pc.group_instance_norm_packed(xp, self.num_layers[0]))
         else:
             x = _conv(self.num_layers[0], self.kernel_size,
                       padding=self.kernel_size // 2, dtype=self.dtype,

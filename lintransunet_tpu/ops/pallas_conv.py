@@ -64,6 +64,47 @@ from lintransunet_tpu.ops.pallas_attention import pallas_supported  # noqa: F401
 LANE = 128
 NEG_SLOPE = 0.01  # torch nn.LeakyReLU default, the reference's act
 
+# Eval-path routing gate for the canvas kernel: "0" off, "1" on (TPU),
+# "interpret" on with interpret-mode pallas (CPU tests). Frozen at import
+# like the other trace-time knobs (ops/packed_conv.py rationale).
+FUSED_S1_MODE = __import__("os").environ.get("LINTRANSUNET_FUSED_S1", "0")
+
+
+def fused_s1_mode(train: bool, n_volumes) -> Optional[bool]:
+    """None = keep the XLA path; False = run the Mosaic kernel; True =
+    run it in interpret mode (CPU testing). Eval-only — the kernel has
+    no custom VJP, training keeps the XLA formulation."""
+    if train or n_volumes is None:
+        return None
+    if FUSED_S1_MODE == "interpret":
+        return True
+    if FUSED_S1_MODE == "1" and pallas_supported():
+        return False
+    return None
+
+
+def pick_hbo(h: int, cap: int) -> Optional[int]:
+    """Largest exact divisor of h+2 in [8, cap] — the dual-input kernel
+    halves its row block to stay inside VMEM with two double-buffered
+    input windows."""
+    for cand in range(min(cap, h + 2), 7, -1):
+        if (h + 2) % cand == 0:
+            return cand
+    return None
+
+
+def apply_affine_leaky(y: jnp.ndarray, scale: jnp.ndarray,
+                       shift: jnp.ndarray, n_volumes: int) -> jnp.ndarray:
+    """LeakyReLU(y * scale + shift) with per-(volume, lane) affines from
+    stats_to_affine — the chain-end InstanceNorm apply (mid-chain ones
+    ride the next kernel's prologue)."""
+    ndp = y.shape[0]
+    dp = ndp // n_volumes
+    y5 = y.astype(jnp.float32).reshape(n_volumes, dp, *y.shape[1:])
+    z = y5 * scale[:, None, None, None, :] + shift[:, None, None, None, :]
+    z = jnp.where(z >= 0, z, z * NEG_SLOPE)
+    return z.reshape(y.shape).astype(y.dtype)
+
 
 def _rup(x: int, m: int) -> int:
     return -(-x // m) * m

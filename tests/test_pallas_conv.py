@@ -133,3 +133,45 @@ def test_canvas_roundtrip():
     assert np.asarray(xc[0]).max() == 0  # leading pad slab
     back = pcv.from_canvas(xc, 8, 8, 2)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+@pytest.mark.parametrize("paired", [True, False])
+def test_blocks_fused_eval_match_default(monkeypatch, paired):
+    """LINTRANSUNET_FUSED_S1 routes the packed s1 conv units of
+    PackedDownBlock / PackedUpBlock through the canvas kernel at eval;
+    the block outputs must match the XLA path (same math, different stat
+    accumulation order). Model-level equivalence is NOT asserted bitwise:
+    the flagship's post-softmax outputs saturate to 0/1, where any
+    reassociation flips borderline voxels."""
+    from lintransunet_tpu.models.packed import (PackedDownBlock,
+                                                PackedUpBlock)
+
+    c, h, w, dp, n = 4, 8, 8, 4, 2
+    mult = 2 if paired else 1
+    rows = n * dp if paired else n * 2 * dp
+    xd = _mk((rows, h, w, 4 * mult * c), 20)          # DownBlock input (C=c)
+    xu = _mk((rows, h, w, 4 * mult * 2 * c), 21)      # UpBlock input (C=2c)
+    skip = _mk((rows, h, w, 4 * mult * c), 22)        # UpBlock skip (C=c)
+
+    down = PackedDownBlock(in_channels=c, out_channels=2 * c,
+                           dtype=jnp.float32)
+    up = PackedUpBlock(in_channels=2 * c, out_channels=c, dtype=jnp.float32)
+    pd = down.init(jax.random.PRNGKey(1), xd, train=False, n_volumes=n,
+                   paired=paired)
+    pu = up.init(jax.random.PRNGKey(2), xu, skip, train=False, n_volumes=n,
+                 paired=paired)
+
+    def run():
+        z, y = down.apply(pd, xd, train=False, n_volumes=n, paired=paired)
+        u = up.apply(pu, xu, skip, train=False, n_volumes=n, paired=paired)
+        return z, y, u
+
+    refs = [np.asarray(t) for t in run()]
+    monkeypatch.setattr(pcv, "FUSED_S1_MODE", "interpret")
+    gots = [np.asarray(t) for t in run()]
+    # tolerance note: the kernel epilogue computes IN variance one-pass
+    # (E[x^2] - mean^2 from sum/sumsq partials) while moment_stats is
+    # two-pass; the rstd difference (~1e-4 rel) amplifies through the
+    # following conv, bounding agreement near 1e-2 abs on O(1) outputs
+    for got, ref in zip(gots, refs):
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-2)
