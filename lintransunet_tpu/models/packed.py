@@ -225,7 +225,7 @@ class PackedDownBlock(nn.Module):
     @nn.compact
     def __call__(self, xp: Array, train: bool = False,
                  n_volumes: Optional[int] = None, paired: bool = False):
-        fmode = (pcv.fused_s1_mode(train, n_volumes)
+        fmode = (pcv.fused_s1_mode(train, n_volumes, xp.shape[-1])
                  if self.kernel_size == 3 else None)
         if fmode is not None:
             # fused canvas unit: conv1 runs as ONE Mosaic pass with the IN
@@ -307,7 +307,9 @@ class PackedUpBlock(nn.Module):
                     t, self.out_channels, n_volumes=n_volumes)
             return pc.group_instance_norm_packed(t, self.out_channels)
 
-        fmode = (pcv.fused_s1_mode(train, n_volumes)
+        fmode = (pcv.fused_s1_mode(train, n_volumes, xp.shape[-1],
+                                   skip_p.shape[-1],
+                                   4 * self.out_channels * (2 if paired else 1))
                  if self.kernel_size == 3 else None)
         if fmode is not None:
             # fused canvas chain: conv1's IN+act rides conv2's prologue,

@@ -105,7 +105,7 @@ class Encoder(nn.Module):
                     xp = pc.fold_pairs(xp, n)
             else:
                 xp = pk.pack(x)
-            fmode = (pcv.fused_s1_mode(train, nv)
+            fmode = (pcv.fused_s1_mode(train, nv, xp.shape[-1])
                      if self.kernel_size == 3 else None)
             if fmode is not None:
                 kp0, bp0 = pk.PackedConv(

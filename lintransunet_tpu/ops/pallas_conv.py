@@ -70,15 +70,24 @@ NEG_SLOPE = 0.01  # torch nn.LeakyReLU default, the reference's act
 FUSED_S1_MODE = __import__("os").environ.get("LINTRANSUNET_FUSED_S1", "0")
 
 
-def fused_s1_mode(train: bool, n_volumes) -> Optional[bool]:
+def fused_s1_mode(train: bool, n_volumes, *lane_counts: int) -> Optional[bool]:
     """None = keep the XLA path; False = run the Mosaic kernel; True =
     run it in interpret mode (CPU testing). Eval-only — the kernel has
-    no custom VJP, training keeps the XLA formulation."""
+    no custom VJP, training keeps the XLA formulation.
+
+    ``lane_counts``: minor-dim widths of every canvas operand the caller
+    would pass. The real Mosaic path requires each to be lane-exact
+    (% 128): the kernel's manual halo DMAs slice an HBM memref, and
+    Mosaic rejects sliced copies whose minor dim is below the (8, 128)
+    tile (seen on the 32-lane paired input conv). Narrow units keep the
+    XLA path; interpret mode (CPU tests) has no such constraint.
+    """
     if train or n_volumes is None:
         return None
     if FUSED_S1_MODE == "interpret":
         return True
-    if FUSED_S1_MODE == "1" and pallas_supported():
+    if (FUSED_S1_MODE == "1" and pallas_supported()
+            and all(l % LANE == 0 for l in lane_counts)):
         return False
     return None
 
