@@ -227,6 +227,13 @@ class PackedDownBlock(nn.Module):
                  n_volumes: Optional[int] = None, paired: bool = False):
         fmode = (pcv.fused_s1_mode(train, n_volumes, xp.shape[-1])
                  if self.kernel_size == 3 else None)
+        hbo = None
+        if fmode is False:
+            hbo = pcv.pick_hbo_vmem(
+                xp.shape[1], xp.shape[2],
+                [dict(la=xp.shape[-1], no=xp.shape[-1], paired=paired)])
+            if hbo is None:
+                fmode = None
         if fmode is not None:
             # fused canvas unit: conv1 runs as ONE Mosaic pass with the IN
             # stat partials in its epilogue; the normalize+act applies as
@@ -240,10 +247,10 @@ class PackedDownBlock(nn.Module):
             dpv = xp.shape[0] // n_volumes
             bias_l = jnp.concatenate([bp1, bp1]) if paired else bp1
             y1c, st = pcv.fused_s1_canvas(
-                pcv.to_canvas(xp, n_volumes), kp1.astype(xp.dtype),
+                pcv.to_canvas(xp, n_volumes, hbo=hbo), kp1.astype(xp.dtype),
                 bias=bias_l, n_volumes=n_volumes, h=h2, w=w2,
                 mode="paired" if paired else "folded", want_stats=True,
-                interpret=fmode)
+                hbo=hbo, interpret=fmode)
             count = dpv * h2 * w2 * (8 if paired else 4)
             sc, sh = pcv.stats_to_affine(st, self.in_channels, count,
                                          paired=paired)
@@ -307,10 +314,21 @@ class PackedUpBlock(nn.Module):
                     t, self.out_channels, n_volumes=n_volumes)
             return pc.group_instance_norm_packed(t, self.out_channels)
 
+        no_l = 4 * self.out_channels * (2 if paired else 1)
         fmode = (pcv.fused_s1_mode(train, n_volumes, xp.shape[-1],
-                                   skip_p.shape[-1],
-                                   4 * self.out_channels * (2 if paired else 1))
+                                   skip_p.shape[-1], no_l)
                  if self.kernel_size == 3 else None)
+        hbo = None
+        if fmode is False:
+            # one hbo for the whole chain: conv2 consumes conv1's canvas,
+            # so both calls (and both to_canvas pads) must agree on Hc
+            hbo = pcv.pick_hbo_vmem(
+                xp.shape[1], xp.shape[2],
+                [dict(la=xp.shape[-1], no=no_l, paired=paired),
+                 dict(la=no_l, no=no_l, lb=skip_p.shape[-1], paired=paired,
+                      affine_a=True)])
+            if hbo is None:
+                fmode = None
         if fmode is not None:
             # fused canvas chain: conv1's IN+act rides conv2's prologue,
             # and conv2 runs DUAL-input (y1, skip) — the skip concat (and
@@ -334,21 +352,20 @@ class PackedUpBlock(nn.Module):
                 return jnp.concatenate([b4, b4]) if paired else b4
 
             y1c, st1 = pcv.fused_s1_canvas(
-                pcv.to_canvas(xp, n_volumes), kp1.astype(xp.dtype),
+                pcv.to_canvas(xp, n_volumes, hbo=hbo), kp1.astype(xp.dtype),
                 bias=lanes(bp1), n_volumes=n_volumes, h=h2, w=w2,
-                mode=mode, want_stats=True, interpret=fmode)
+                mode=mode, want_stats=True, hbo=hbo, interpret=fmode)
             sc1, sh1 = pcv.stats_to_affine(st1, self.out_channels, count,
                                            paired=paired)
             half = kp2.shape[3] // 2  # split the concat kernel by input rows
             y2c, st2 = pcv.fused_s1_canvas(
                 y1c, kp2[:, :, :, :half].astype(xp.dtype),
-                xb=pcv.to_canvas(skip_p, n_volumes),
+                xb=pcv.to_canvas(skip_p, n_volumes, hbo=hbo),
                 packed_kernel_b=kp2[:, :, :, half:].astype(xp.dtype),
                 bias=lanes(bp2),
                 affine_a=jnp.stack([sc1, sh1], axis=1),
                 n_volumes=n_volumes, h=h2, w=w2, mode=mode,
-                want_stats=True, hbo=pcv.pick_hbo(h2, 22),
-                interpret=fmode)
+                want_stats=True, hbo=hbo, interpret=fmode)
             sc2, sh2 = pcv.stats_to_affine(st2, self.out_channels, count,
                                            paired=paired)
             x = pcv.apply_affine_leaky(

@@ -107,6 +107,15 @@ class Encoder(nn.Module):
                 xp = pk.pack(x)
             fmode = (pcv.fused_s1_mode(train, nv, xp.shape[-1])
                      if self.kernel_size == 3 else None)
+            hbo0 = None
+            if fmode is False:
+                hbo0 = pcv.pick_hbo_vmem(
+                    xp.shape[1], xp.shape[2],
+                    [dict(la=xp.shape[-1],
+                          no=4 * self.num_layers[0] * (2 if p0 else 1),
+                          paired=p0)])
+                if hbo0 is None:
+                    fmode = None
             if fmode is not None:
                 kp0, bp0 = pk.PackedConv(
                     self.num_layers[0],
@@ -117,11 +126,11 @@ class Encoder(nn.Module):
                 h2, w2 = xp.shape[1], xp.shape[2]
                 dpv = xp.shape[0] // n
                 yc, st = pcv.fused_s1_canvas(
-                    pcv.to_canvas(xp, n), kp0.astype(xp.dtype),
+                    pcv.to_canvas(xp, n, hbo=hbo0), kp0.astype(xp.dtype),
                     bias=jnp.concatenate([bp0, bp0]) if p0 else bp0,
                     n_volumes=n, h=h2, w=w2,
                     mode="paired" if p0 else "folded", want_stats=True,
-                    interpret=fmode)
+                    hbo=hbo0, interpret=fmode)
                 sc, sh = pcv.stats_to_affine(
                     st, self.num_layers[0], dpv * h2 * w2 * (8 if p0 else 4),
                     paired=p0)

@@ -102,6 +102,59 @@ def pick_hbo(h: int, cap: int) -> Optional[int]:
     return None
 
 
+# Mosaic's scoped-vmem stack limit is 16 MiB; the estimate below tracks the
+# real allocation to ~±40% (calibrated: folded la=256/no=128/wc=72/hbo=33
+# estimated 15.1 MiB vs 20.9 MiB actual), so the budget leaves that margin.
+FUSED_S1_VMEM_BUDGET = int(__import__("os").environ.get(
+    "LINTRANSUNET_FUSED_S1_VMEM_KIB", str(10 * 1024))) * 1024
+
+
+def est_vmem(hbo: int, w: int, *, la: int, no: int, lb: int = 0,
+             paired: bool = True, affine_a: bool = False,
+             affine_b: bool = False, want_z: bool = False,
+             itemsize: int = 2) -> int:
+    """Estimated kernel VMEM footprint (bytes) of one fused_s1_canvas call
+    at row block ``hbo``: double-buffered halo scratch + K-extended tap
+    operand + stacked tap kernel + f32 prologue temps + accumulator +
+    double-buffered output block."""
+    wc = _rup(w + 2, 8)
+    kext = 2 if paired else 3
+    total = 0
+    for l, aff in ((la, affine_a), (lb, affine_b)):
+        if not l:
+            continue
+        total += 2 * 3 * (hbo + 2) * wc * l * itemsize
+        total += (hbo + 2) * wc * kext * l * itemsize
+        total += 9 * kext * l * no * itemsize
+        if aff:
+            total += 3 * (hbo + 2) * wc * l * 4
+    total += hbo * wc * no * 4
+    total += 2 * hbo * wc * no * itemsize
+    if want_z:
+        total += 2 * hbo * wc * la * itemsize
+    return total
+
+
+def pick_hbo_vmem(h: int, w: int, units, itemsize: int = 2,
+                  budget: Optional[int] = None) -> Optional[int]:
+    """Largest canvas row block at which EVERY unit in ``units`` (dicts of
+    est_vmem keywords) fits the scoped-vmem budget; None if none fits
+    (callers keep the XLA path). Candidate order mirrors canvas_dims:
+    exact divisors of h+2 in [8, 40] first, then near-divisors (<= 6
+    padded rows), both descending — a block's calls must share one hbo so
+    chained canvases agree on Hc."""
+    budget = FUSED_S1_VMEM_BUDGET if budget is None else budget
+    # floor at 8: smaller row blocks are sublane-misaligned and DMA-bound
+    cands = [c for c in range(min(40, h + 2), 7, -1) if (h + 2) % c == 0]
+    cands += [c for c in range(min(40, h + 2), 7, -1)
+              if _rup(h + 2, c) - (h + 2) <= 6 and c not in cands]
+    for c in cands:
+        if all(est_vmem(c, w, itemsize=itemsize, **u) <= budget
+               for u in units):
+            return c
+    return None
+
+
 def apply_affine_leaky(y: jnp.ndarray, scale: jnp.ndarray,
                        shift: jnp.ndarray, n_volumes: int) -> jnp.ndarray:
     """LeakyReLU(y * scale + shift) with per-(volume, lane) affines from
