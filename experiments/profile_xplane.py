@@ -105,7 +105,7 @@ def _capture_train(outdir, model):
             state = run(state, 3 + i)
 
 
-def report(outdir, top):
+def report(outdir, top, bucket_filter=None):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(outdir, "**", "*.xplane.pb"),
@@ -194,6 +194,14 @@ def report(outdir, top):
     for name, dur in sorted(copies, key=lambda kv: -kv[1])[:30]:
         print(f"{dur / 3:9.3f} ms/run  x{counts[name] // 3:<4d} {name[:300]}")
 
+    if bucket_filter:
+        print(f"\n-- ops in bucket {bucket_filter} (full) --")
+        sel = [(n, d) for n, d in agg.items()
+               if shape_bucket(n) == bucket_filter]
+        for name, dur in sorted(sel, key=lambda kv: -kv[1]):
+            print(f"{dur / 3:9.3f} ms/run  x{counts[name] // 3:<4d} "
+                  f"{name[:400]}")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -207,6 +215,9 @@ def main():
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--dir", default=None,
                     help="parse an existing trace dir instead of capturing")
+    ap.add_argument("--bucket", default=None,
+                    help="print every op whose output-shape bucket matches "
+                         "(e.g. '[128]') with full operand text")
     args = ap.parse_args()
     outdir = args.dir
     if outdir is None:
@@ -214,7 +225,7 @@ def main():
         outdir = tempfile.mkdtemp(prefix=f"xp_{tag}_")
         capture(outdir, args.fused, train=args.train, batch=args.batch)
         print(f"trace dir: {outdir}", file=sys.stderr)
-    report(outdir, args.top)
+    report(outdir, args.top, bucket_filter=args.bucket)
 
 
 if __name__ == "__main__":
