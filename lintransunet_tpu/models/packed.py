@@ -23,6 +23,17 @@ from lintransunet_tpu.ops import pallas_conv as pcv
 
 Array = jnp.ndarray
 
+# UpBlock merge-conv execution. The trace shows the skip concat paying two
+# ~1.2 ms minor-major layout copies per packed decoder level (copy.1211/1212,
+# [32,128,128,256]): XLA reconciles the upsample chain's and the encoder
+# skip's layouts before it can materialise the concat. "dual" computes
+# conv2(concat(x, skip)) == conv2_a(x) + conv2_b(skip) instead — the same
+# contraction split by input rows — so each half fuses into its producer's
+# native layout and no concat is materialised. Bit-compatible up to the
+# add's accumulation order. Frozen at import like the other trace-time knobs.
+UPBLOCK_DUAL = __import__("os").environ.get(
+    "LINTRANSUNET_UPBLOCK_DUAL", "0") == "1"
+
 # When set (a list), every PackedConv traced appends (path, kind, raw_shape)
 # with kind the kernel-transform it will apply ('dense' | 'sheared' | 's2' |
 # '1x1') and raw_shape the UNpacked kernel shape — used by prepack_plan to
@@ -377,12 +388,27 @@ class PackedUpBlock(nn.Module):
                            name="conv1")(xp, n_volumes=n_volumes,
                                          paired=paired)
             x = ops.leaky_relu(norm(x))
-            x = (pc.concat_paired(x, skip_p) if paired
-                 else jnp.concatenate([x, skip_p], axis=-1))
-            x = PackedConv(self.out_channels, 2 * self.out_channels,
-                           mode="s1", kernel_size=self.kernel_size,
-                           dtype=self.dtype, name="conv2")(
-                               x, n_volumes=n_volumes, paired=paired)
+            if (UPBLOCK_DUAL and self.kernel_size == 3
+                    and n_volumes is not None):
+                kp2, bp2 = PackedConv(
+                    self.out_channels, 2 * self.out_channels, mode="s1",
+                    kernel_size=self.kernel_size, dtype=self.dtype,
+                    name="conv2")(x, n_volumes=n_volumes, paired=paired,
+                                  return_packed=True)
+                half = kp2.shape[3] // 2  # input rows: [x rows; skip rows]
+                conv = (pc.packed_conv3d_stride1_paired if paired
+                        else pc.packed_conv3d_stride1_folded)
+                x = (conv(x, kp2[:, :, :, :half].astype(x.dtype),
+                          bp2.astype(x.dtype), n_volumes=n_volumes)
+                     + conv(skip_p, kp2[:, :, :, half:].astype(x.dtype),
+                            None, n_volumes=n_volumes))
+            else:
+                x = (pc.concat_paired(x, skip_p) if paired
+                     else jnp.concatenate([x, skip_p], axis=-1))
+                x = PackedConv(self.out_channels, 2 * self.out_channels,
+                               mode="s1", kernel_size=self.kernel_size,
+                               dtype=self.dtype, name="conv2")(
+                                   x, n_volumes=n_volumes, paired=paired)
             x = ops.leaky_relu(norm(x))
         if self.dropout is not None:
             x = nn.Dropout(self.dropout)(x, deterministic=not train)

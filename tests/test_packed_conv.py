@@ -760,3 +760,35 @@ def test_in_stats_dot_matches_reduce(rng, monkeypatch):
         got = np.asarray(make(x))
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5,
                                    err_msg=name)
+
+
+@pytest.mark.parametrize("paired", [True, False])
+def test_upblock_dual_matches_concat(rng, monkeypatch, paired):
+    """UPBLOCK_DUAL (merge conv as the sum of two half-kernel convs, no
+    materialised skip concat) == the concat path on PackedUpBlock — the
+    same contraction split by input rows."""
+    import jax
+
+    from lintransunet_tpu.models import packed as pk_models
+
+    c, h, w, dp, n = 4, 8, 8, 4, 2
+    mult = 2 if paired else 1
+    rows = n * dp if paired else n * 2 * dp
+    xu = jnp.asarray(
+        rng.standard_normal((rows, h, w, 4 * mult * 2 * c)).astype(
+            np.float32))
+    skip = jnp.asarray(
+        rng.standard_normal((rows, h, w, 4 * mult * c)).astype(np.float32))
+
+    up = pk_models.PackedUpBlock(in_channels=2 * c, out_channels=c,
+                                 dtype=jnp.float32)
+    params = up.init(jax.random.PRNGKey(3), xu, skip, train=False,
+                     n_volumes=n, paired=paired)
+
+    monkeypatch.setattr(pk_models, "UPBLOCK_DUAL", False)
+    ref = np.asarray(up.apply(params, xu, skip, train=False, n_volumes=n,
+                              paired=paired))
+    monkeypatch.setattr(pk_models, "UPBLOCK_DUAL", True)
+    got = np.asarray(up.apply(params, xu, skip, train=False, n_volumes=n,
+                              paired=paired))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
