@@ -13,6 +13,8 @@ always accumulated in float32 regardless of compute dtype.
 from functools import partial
 from typing import Sequence, Tuple, Union
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -56,6 +58,23 @@ def conv3d(
     return y
 
 
+# How IN statistics are computed (trace-time; see ops/packed_conv.py for
+# the measurement history): "reduce" fuses the stat reductions into the
+# producing fusion; "unfused" forces them out via an optimization_barrier
+# (a standalone sum/sumsq reduce streams at 1.2-2x the bandwidth floor,
+# while the embedded multi-output (stats, y) producer fusions run ~5x over
+# floor — experiments/in_stats_probe.py, round-4 trace); "dot" uses MXU
+# contractions (packed_conv._mxu_group_stats).
+IN_STATS = os.environ.get("LINTRANSUNET_IN_STATS", "reduce")
+
+
+def _stats_input(x: jnp.ndarray) -> jnp.ndarray:
+    """The tensor IN statistics are computed from (see IN_STATS above)."""
+    if IN_STATS == "unfused":
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 def moment_stats(x32: jnp.ndarray, axes, eps: float):
     """Single-pass (mean, rsqrt(var+eps)) over ``axes``.
 
@@ -75,7 +94,7 @@ def moment_stats(x32: jnp.ndarray, axes, eps: float):
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Per-(N, C) normalisation over spatial dims of (N, ..., C), affine-free."""
     axes = tuple(range(1, x.ndim - 1))
-    x32 = x.astype(jnp.float32)
+    x32 = _stats_input(x).astype(jnp.float32)
     mean, rstd = moment_stats(x32, axes, eps)
     return ((x32 - mean) * rstd).astype(x.dtype)
 

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lintransunet_tpu.ops.conv import conv3d, moment_stats
+from lintransunet_tpu.ops.conv import (IN_STATS, _stats_input,
+                                       conv3d, moment_stats)
 
 # Read once at import time: this flag is consulted at TRACE time inside
 # jitted model code, so mutating the env var after programs are compiled
@@ -315,6 +316,7 @@ def group_instance_norm_packed(x_packed: jnp.ndarray, channels: int,
     InstanceNorm's statistics."""
     n, h, w, d, c4 = x_packed.shape
     assert c4 == 4 * channels
+    x_packed = _stats_input(x_packed)
     x32 = x_packed.astype(jnp.float32).reshape(n, h, w, d, channels, 4)
     mean, rstd = moment_stats(x32, (1, 2, 3, 5), eps)
     out = (x32 - mean) * rstd
@@ -504,12 +506,21 @@ def packed_conv1x1_folded(xf: jnp.ndarray, packed_kernel,
 
 # How IN statistics are computed on the folded/paired layouts (trace-time):
 # "reduce" = fused sibling jnp.mean reductions (ride the producing conv's
-# output fusion; the cross-tile reduction runs ~10x over the traffic floor
-# — ~1.7 ms on a (32,128,128,128) buffer, ~11.5 ms/window total on the
-# round-3 eval trace); "dot" = MXU contractions — a ones-matvec for the
-# sums and the diagonal of a batched Gram x^T x for the square sums (exact
-# f32 accumulation of bf16 products), which stream at bandwidth rate.
-IN_STATS = os.environ.get("LINTRANSUNET_IN_STATS", "reduce")
+# output fusion); "unfused" = an optimization_barrier on the bf16 input
+# forces the stats OUT of the producer fusion into a standalone reduce;
+# "dot" = MXU contractions — a ones-matvec for the sums and the diagonal
+# of a batched Gram x^T x for the square sums (exact f32 accumulation of
+# bf16 products).
+#
+# Why "unfused" exists (round-4 measurement, experiments/in_stats_probe.py
+# + the fresh eval trace): a STANDALONE sum/sumsq reduce streams at
+# 1.2-2x the bandwidth floor, but embedded the reduce rides the producing
+# conv-epilogue fusion as a multi-output (stats, stats, y) fusion that
+# runs ~5x over floor (1.75 ms on a 134 MB L0 buffer vs 0.33 floor) —
+# ~18 ms/window across the [128]/[64]/[32]-output stat fusions. The
+# barrier trades ONE extra clean read of y (~0.2-0.3 ms) for the fast
+# standalone reduce emitter.
+# (IN_STATS / _stats_input live in ops/conv.py and are imported above.)
 
 
 def _mxu_group_stats(xr: jnp.ndarray, group_sum, count: int, eps: float):
@@ -550,6 +561,7 @@ def group_instance_norm_folded(xf: jnp.ndarray, channels: int,
         rstd_l = jnp.repeat(rstd, 4, axis=-1)[:, None, None, None, :]
         x32 = xf.astype(jnp.float32).reshape(n_volumes, d, h, w, c4)
         return ((x32 - mean_l) * rstd_l).reshape(nd, h, w, c4).astype(xf.dtype)
+    xf = _stats_input(xf)
     x32 = xf.astype(jnp.float32).reshape(n_volumes, d, h, w, channels, 4)
     mean, rstd = moment_stats(x32, (1, 2, 3, 5), eps)
     out = (x32 - mean) * rstd
@@ -571,6 +583,7 @@ def instance_norm_folded(xf: jnp.ndarray, n_volumes: int = 1,
         return ((x32 - mean[:, None, None, None, :])
                 * rstd[:, None, None, None, :]).reshape(
                     nd, h, w, c).astype(xf.dtype)
+    xf = _stats_input(xf)
     x32 = xf.astype(jnp.float32).reshape(n_volumes, d, h, w, c)
     mean, rstd = moment_stats(x32, (1, 2, 3), eps)
     out = (x32 - mean) * rstd
@@ -916,6 +929,7 @@ def group_instance_norm_paired(x8: jnp.ndarray, channels: int,
         x32 = x8.astype(jnp.float32).reshape(n_volumes, dp, h, w, c8)
         return ((x32 - mean_l) * rstd_l).reshape(
             ndp, h, w, c8).astype(x8.dtype)
+    x8 = _stats_input(x8)
     x32 = x8.astype(jnp.float32).reshape(
         n_volumes, dp, h, w, 2, channels, 4)
     mean, rstd = moment_stats(x32, (1, 2, 3, 4, 6), eps)

@@ -762,6 +762,31 @@ def test_in_stats_dot_matches_reduce(rng, monkeypatch):
                                    err_msg=name)
 
 
+def test_in_stats_unfused_matches_reduce(rng, monkeypatch):
+    """IN_STATS=unfused (optimization_barrier forces the stat reductions
+    out of the producer fusion) must be BIT-identical to the fused default
+    — the barrier is an identity; only XLA's fusion grouping changes."""
+    from lintransunet_tpu.ops import conv as cv
+
+    n, d, h, w, c = 2, 4, 5, 6, 3
+    for name, make, args in [
+        ("folded", lambda x: pc.group_instance_norm_folded(
+            x, c, n_volumes=n), (n * d, h, w, 4 * c)),
+        ("paired", lambda x: pc.group_instance_norm_paired(
+            x, c, n_volumes=n), (n * (d // 2), h, w, 8 * c)),
+        ("plain", lambda x: pc.instance_norm_folded(
+            x, n_volumes=n), (n * d, h, w, c)),
+        ("unpacked5d", lambda x: cv.instance_norm(x),
+         (n, h, w, d, c)),
+    ]:
+        x = jnp.asarray(rng.standard_normal(args).astype(np.float32) * 3 + 1)
+        monkeypatch.setattr(cv, "IN_STATS", "reduce")
+        ref = np.asarray(make(x))
+        monkeypatch.setattr(cv, "IN_STATS", "unfused")
+        got = np.asarray(make(x))
+        np.testing.assert_array_equal(got, ref, err_msg=name)
+
+
 @pytest.mark.parametrize("paired", [True, False])
 def test_upblock_dual_matches_concat(rng, monkeypatch, paired):
     """UPBLOCK_DUAL (merge conv as the sum of two half-kernel convs, no
