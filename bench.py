@@ -125,9 +125,16 @@ def main():
     run_synced()
     t0 = time.perf_counter()
     outs = [runner(volume, params) for _ in range(args.runs)]
-    acc = 0.0
-    for out in outs:
-        acc += float(jnp.sum(out[0, 0, 0, 0]))
+    # Dispatch ALL the sync scalars before blocking on any: the device
+    # executes programs in dispatch order, so float(sums[0]) returns only
+    # after every volume has run and the remaining floats are already
+    # materialised. Blocking inside the dispatch loop (the previous form)
+    # serialised one ~25 ms tunnel round trip PER RUN into the measured
+    # region — the runner-gap trace (experiments/profile_runner_gaps.py)
+    # showed the volumes run gap-free and the whole wall/device difference
+    # was this sync tail.
+    sums = [jnp.sum(out[0, 0, 0, 0]) for out in outs]
+    acc = sum(float(s) for s in sums)
     pipelined = (time.perf_counter() - t0) / args.runs
     del acc
     best = min(min(times), pipelined)
@@ -201,9 +208,24 @@ def train_bench(args):
         t0 = time.perf_counter()
         state, loss = run(state, jax.random.PRNGKey(2 + i))
         times.append(time.perf_counter() - t0)
-    best_ms = min(times) * 1000 / b
-    print(f"loss={loss:.4f} times={[f'{t*1000:.0f}ms' for t in times]}",
-          file=sys.stderr)
+    # Steady-state basis: dispatch steps back-to-back and sync ONCE — how
+    # the epoch loop actually streams (loss scalars are only read for
+    # logging). The per-step synced loop above serialises a ~25 ms tunnel
+    # round trip into EVERY step (same artifact the inference bench fixed;
+    # see experiments/profile_runner_gaps.py).
+    k = max(args.runs, 3)
+    t0 = time.perf_counter()
+    losses = []
+    for i in range(k):
+        state, loss_d, _ = step_fn(state, images, labels, dyn_w,
+                                   jax.random.PRNGKey(20 + i))
+        losses.append(loss_d)
+    loss = float(losses[0])
+    _ = [float(l) for l in losses]
+    pipelined_ms = (time.perf_counter() - t0) * 1000 / k
+    best_ms = min(min(times), pipelined_ms / 1000) * 1000 / b
+    print(f"loss={loss:.4f} times={[f'{t*1000:.0f}ms' for t in times]} "
+          f"pipelined={pipelined_ms:.1f}ms/step", file=sys.stderr)
     print(json.dumps({
         "metric": "train step ms (MaskTransUnet bf16, 512x512x32 patch, "
                   "5-level deep supervision, AdamW)",

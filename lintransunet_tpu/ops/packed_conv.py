@@ -418,11 +418,22 @@ def packed_conv3d_stride1_folded(xf: jnp.ndarray, packed_kernel, bias=None,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         out = y.reshape(nd, h2, w2, o4)
     else:
-        x5 = xf.reshape(n_volumes, d, h2, w2, c4)
-        pad = jnp.pad(x5, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        if n_volumes == 1:
+            # Slice the 4D tensor directly: the 5D reshape below creates a
+            # logically-distinct alias of the conv operand, and XLA emits a
+            # SECOND physically-identical relayout copy for it next to the
+            # conv's own ({3,0,2,1} vs {4,1,3,2,0} — same minor-to-major
+            # order; copy.1211/copy.1212 on the round-4 eval trace, ~1.2 ms
+            # each on the L0-paired twin of this path).
+            pad = jnp.pad(xf, ((1, 1), (0, 0), (0, 0), (0, 0)))
+            xslices = [pad[dp:dp + d] for dp in range(3)]
+        else:
+            x5 = xf.reshape(n_volumes, d, h2, w2, c4)
+            pad = jnp.pad(x5, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+            xslices = [pad[:, dp:dp + d].reshape(nd, h2, w2, c4)
+                       for dp in range(3)]
         out = None
-        for dp in range(3):
-            xs = pad[:, dp:dp + d].reshape(nd, h2, w2, c4)
+        for dp, xs in enumerate(xslices):
             y = jax.lax.conv_general_dilated(
                 xs, packed_kernel[:, :, dp], (1, 1), [(1, 1), (1, 1)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -542,6 +553,51 @@ def _mxu_group_stats(xr: jnp.ndarray, group_sum, count: int, eps: float):
     return mean, jax.lax.rsqrt(var + eps)
 
 
+def _lane_norm(xf: jnp.ndarray, n_volumes: int, pool, tile, count: int,
+               eps: float) -> jnp.ndarray:
+    """Lane-preserving instance norm on a folded (N*D', H, W, L) tensor.
+
+    The stat reduction keeps the lane dim end to end: a spatial-only
+    per-row f32 sum/sumsq (VPU-native lane accumulation), a tiny per-volume
+    row regroup on the (N*D', L) result, then ``pool``/``tile`` map lanes
+    <-> stat groups on (N, L)-sized data. The normalise then broadcasts
+    (N, L) lane vectors over the tensor's OWN 4D shape.
+
+    Why (round-4): the previous form reshaped the tensor to split sub-lane
+    group axes (e.g. (n, dp, h, w, 2, C, 4)) and reduced ACROSS them —
+    the logically-distinct alias forced relayout copies at the consumer
+    boundary (copy.1168 on the round-4 eval trace) and put cross-sub-lane
+    work inside the big pass. Formula-identical to moment_stats
+    (single-pass E[x^2]-E[x]^2, clamped, rsqrt(var+eps)); only the
+    reduction ORDER changes (f32 accumulation throughout).
+    """
+    nd, h, w, lanes = xf.shape
+    xf = _stats_input(xf)
+    x32 = xf.astype(jnp.float32)
+    s1 = x32.sum((1, 2))             # (nd, L) per-row per-lane
+    s2 = jnp.square(x32).sum((1, 2))
+    if n_volumes == 1:
+        s1 = s1.sum(0, keepdims=True)    # (1, L)
+        s2 = s2.sum(0, keepdims=True)
+    else:
+        d = nd // n_volumes
+        s1 = s1.reshape(n_volumes, d, lanes).sum(1)   # (n, L)
+        s2 = s2.reshape(n_volumes, d, lanes).sum(1)
+    g1, g2 = pool(s1), pool(s2)      # (n, groups)
+    mean = g1 / count
+    var = jnp.maximum(g2 / count - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    mean_l, rstd_l = tile(mean), tile(rstd)   # (n, L)
+    if n_volumes > 1:
+        d = nd // n_volumes
+        mean_l = jnp.repeat(mean_l, d, axis=0)   # (nd, L)
+        rstd_l = jnp.repeat(rstd_l, d, axis=0)
+        out = (x32 - mean_l[:, None, None, :]) * rstd_l[:, None, None, :]
+    else:
+        out = (x32 - mean_l[0]) * rstd_l[0]
+    return out.astype(xf.dtype)
+
+
 def group_instance_norm_folded(xf: jnp.ndarray, channels: int,
                                n_volumes: int = 1,
                                eps: float = 1e-5) -> jnp.ndarray:
@@ -561,11 +617,11 @@ def group_instance_norm_folded(xf: jnp.ndarray, channels: int,
         rstd_l = jnp.repeat(rstd, 4, axis=-1)[:, None, None, None, :]
         x32 = xf.astype(jnp.float32).reshape(n_volumes, d, h, w, c4)
         return ((x32 - mean_l) * rstd_l).reshape(nd, h, w, c4).astype(xf.dtype)
-    xf = _stats_input(xf)
-    x32 = xf.astype(jnp.float32).reshape(n_volumes, d, h, w, channels, 4)
-    mean, rstd = moment_stats(x32, (1, 2, 3, 5), eps)
-    out = (x32 - mean) * rstd
-    return out.reshape(nd, h, w, c4).astype(xf.dtype)
+    return _lane_norm(
+        xf, n_volumes,
+        pool=lambda s: s.reshape(-1, channels, 4).sum(-1),
+        tile=lambda m: jnp.repeat(m, 4, axis=-1),
+        count=d * h * w * 4, eps=eps)
 
 
 def instance_norm_folded(xf: jnp.ndarray, n_volumes: int = 1,
@@ -583,11 +639,8 @@ def instance_norm_folded(xf: jnp.ndarray, n_volumes: int = 1,
         return ((x32 - mean[:, None, None, None, :])
                 * rstd[:, None, None, None, :]).reshape(
                     nd, h, w, c).astype(xf.dtype)
-    xf = _stats_input(xf)
-    x32 = xf.astype(jnp.float32).reshape(n_volumes, d, h, w, c)
-    mean, rstd = moment_stats(x32, (1, 2, 3), eps)
-    out = (x32 - mean) * rstd
-    return out.reshape(nd, h, w, c).astype(xf.dtype)
+    return _lane_norm(xf, n_volumes, pool=lambda s: s, tile=lambda m: m,
+                      count=d * h * w, eps=eps)
 
 
 def unpack_folded(xf: jnp.ndarray) -> jnp.ndarray:
@@ -785,18 +838,30 @@ def packed_conv3d_stride1_paired(x8: jnp.ndarray, packed_kernel, bias=None,
     # g_out=1 reads g=0 of pair r+1 (depth tap kd=2). Row shifts are
     # per-volume zero-padded leading-dim slices; the half-lane reads are
     # contiguous (g-major).
-    x5 = x8.reshape(n_volumes, dp, h2, w2, c8)
-    prev_g1 = jnp.pad(x5[:, :-1, :, :, c4:],
-                      ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
-    next_g0 = jnp.pad(x5[:, 1:, :, :, :c4],
-                      ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+    if n_volumes == 1:
+        # Slice the 4D tensor directly (single-volume rows ARE depth pairs):
+        # the 5D reshape creates a logically-distinct alias of the conv
+        # operand and XLA emits a SECOND physically-identical relayout copy
+        # for it next to the main conv2d's ({3,0,2,1} vs {4,1,3,2,0} — same
+        # minor-to-major order; copy.1211/copy.1212 on the round-4 eval
+        # trace, ~1.2 ms each at L0).
+        prev_g1 = jnp.pad(x8[:-1, :, :, c4:],
+                          ((1, 0), (0, 0), (0, 0), (0, 0)))
+        next_g0 = jnp.pad(x8[1:, :, :, :c4],
+                          ((0, 1), (0, 0), (0, 0), (0, 0)))
+    else:
+        x5 = x8.reshape(n_volumes, dp, h2, w2, c8)
+        prev_g1 = jnp.pad(x5[:, :-1, :, :, c4:],
+                          ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0))
+                          ).reshape(ndp, h2, w2, c4)
+        next_g0 = jnp.pad(x5[:, 1:, :, :, :c4],
+                          ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0))
+                          ).reshape(ndp, h2, w2, c4)
 
     if formulation == "ext":
         # one K=16C conv: [x8 | prev_g1 | next_g0] against the stacked
         # [pair-kernel; block-diag boundary kernel]
-        x_ext = jnp.concatenate(
-            [x8, prev_g1.reshape(ndp, h2, w2, c4),
-             next_g0.reshape(ndp, h2, w2, c4)], axis=-1)
+        x_ext = jnp.concatenate([x8, prev_g1, next_g0], axis=-1)
         k_ext = jnp.concatenate(
             [pair_kernel_stride1_jnp(kp), pair_kernel_stride1_bd_jnp(kp)],
             axis=-2)
@@ -805,13 +870,11 @@ def packed_conv3d_stride1_paired(x8: jnp.ndarray, packed_kernel, bias=None,
         # in-pair: one dense K=N=8C conv (2 of 3 depth taps per output)
         y = conv2d(x8, pair_kernel_stride1_jnp(kp))
         if formulation == "bd":
-            bd_in = jnp.concatenate(
-                [prev_g1.reshape(ndp, h2, w2, c4),
-                 next_g0.reshape(ndp, h2, w2, c4)], axis=-1)
+            bd_in = jnp.concatenate([prev_g1, next_g0], axis=-1)
             y = y + conv2d(bd_in, pair_kernel_stride1_bd_jnp(kp))
         else:  # "pads"
-            up = conv2d(prev_g1.reshape(ndp, h2, w2, c4), kp[:, :, 0])
-            dn = conv2d(next_g0.reshape(ndp, h2, w2, c4), kp[:, :, 2])
+            up = conv2d(prev_g1, kp[:, :, 0])
+            dn = conv2d(next_g0, kp[:, :, 2])
             y = y + jnp.concatenate([up, dn], axis=-1)
     if bias is not None:
         b4 = bias.astype(y.dtype)
@@ -929,12 +992,11 @@ def group_instance_norm_paired(x8: jnp.ndarray, channels: int,
         x32 = x8.astype(jnp.float32).reshape(n_volumes, dp, h, w, c8)
         return ((x32 - mean_l) * rstd_l).reshape(
             ndp, h, w, c8).astype(x8.dtype)
-    x8 = _stats_input(x8)
-    x32 = x8.astype(jnp.float32).reshape(
-        n_volumes, dp, h, w, 2, channels, 4)
-    mean, rstd = moment_stats(x32, (1, 2, 3, 4, 6), eps)
-    out = (x32 - mean) * rstd
-    return out.reshape(ndp, h, w, c8).astype(x8.dtype)
+    return _lane_norm(
+        x8, n_volumes,
+        pool=lambda s: s.reshape(-1, 2, channels, 4).sum((1, 3)),
+        tile=lambda m: jnp.tile(jnp.repeat(m, 4, axis=-1), (1, 2)),
+        count=dp * h * w * 8, eps=eps)
 
 
 def packed_scale_paired(x8: jnp.ndarray, gate8: jnp.ndarray,
