@@ -292,11 +292,17 @@ class ROIDecoder(nn.Module):
                         # level above — the region's one entry transpose
                         n = x.shape[0]
                         x = pc.fold_depth(x)
-                    xp = pc.packed_upsample_x2_folded(x, n_volumes=n, z2=z2)
+                    d_after = (x.shape[0] // n) * (2 if z2 else 1)
                     lvl_paired = _use_paired(paired_flag, folded,
-                                             layers[level], xp.shape[0] // n)
-                    if lvl_paired:
-                        xp = pc.fold_pairs(xp, n)
+                                             layers[level], d_after)
+                    if lvl_paired and not z2:
+                        # pair-first: one full-tensor transpose, not two
+                        xp = pc.packed_upsample_x2_paired(x, n_volumes=n)
+                    else:
+                        xp = pc.packed_upsample_x2_folded(x, n_volumes=n,
+                                                          z2=z2)
+                        if lvl_paired:
+                            xp = pc.fold_pairs(xp, n)
                 else:
                     xp = pc.packed_upsample_x2(x, z2=z2)
                     lvl_paired = False  # paired requires the folded regime

@@ -474,22 +474,51 @@ def packed_conv3d_stride1_sheared_folded(xf: jnp.ndarray, sheared_kernel,
     return out
 
 
+# How the folded stride-2 downsample conv lowers (trace-time): "ndhwc" =
+# one conv_general_dilated with depth as the leading spatial dim; "taps" =
+# kd depth-tap 2D NHWC convs summed, with the depth stride as (strided)
+# leading-dim row slices. The round-4 eval trace clocked the ndhwc form at
+# ~13 TF/s with XLA re-tiling the spatial dims ([64,128,8,17,*] shapes)
+# and a T(2,128) output layout that forces relayout copies on both sides
+# — the same pathology the stride-1 "taps" formulation fixed (1.6x there).
+# Full-bench A/B (same session, 2026-08-19): taps 258.2 vs ndhwc 251.8
+# patches/s (+2.6%) -> taps is the default.
+S2_FORMULATION = os.environ.get("LINTRANSUNET_S2", "taps")
+
+
 def packed_conv3d_stride2_folded(xf: jnp.ndarray, packed_kernel, bias=None,
                                  n_volumes: int = 1, z_stride: int = 1,
-                                 kd_pad: int = 1) -> jnp.ndarray:
+                                 kd_pad: int = 1,
+                                 formulation: str = None) -> jnp.ndarray:
     """packed_conv3d_stride2 on the FOLDED layout.
 
     xf: folded packed (N*D, H2, W2, 4C); packed_kernel: (2, 2, kd, 4C, O)
     from pack_kernel_stride2_jnp. Returns folded UNPACKED
     (N*D', H2, W2, O), D' = out-depth of the strided conv — the downsample
     output lives on the same packed grid (see packed_conv3d_stride2).
-    One NDHWC conv: depth stride rides the leading spatial dim; the
-    asymmetric (1, 0) H/W padding is passed to the conv directly.
+    The asymmetric (1, 0) H/W padding is passed to the conv directly.
     """
     packed_kernel = packed_kernel.astype(xf.dtype)
     nd, h2, w2, c4 = xf.shape
     d = nd // n_volumes
     o = packed_kernel.shape[-1]
+    kd = packed_kernel.shape[2]
+    if (formulation or S2_FORMULATION) == "taps" and n_volumes == 1:
+        d_out = (d + 2 * kd_pad - kd) // z_stride + 1
+        pad = jnp.pad(xf, ((kd_pad, kd_pad), (0, 0), (0, 0), (0, 0)))
+        out = None
+        for t in range(kd):
+            xs = jax.lax.slice(
+                pad, (t, 0, 0, 0),
+                (t + (d_out - 1) * z_stride + 1, h2, w2, c4),
+                (z_stride, 1, 1, 1))
+            y = jax.lax.conv_general_dilated(
+                xs, packed_kernel[:, :, t], (1, 1), [(1, 0), (1, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = y if out is None else out + y
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
     x5 = xf.reshape(n_volumes, d, h2, w2, c4)
     kd_first = packed_kernel.transpose(2, 0, 1, 3, 4)  # (kd, 2, 2, I, O)
     y = jax.lax.conv_general_dilated(
@@ -663,6 +692,40 @@ def pack_folded(xf: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(nd, h // 2, w // 2, 4 * c)
 
 
+def _upsample_hw_pack(xf: jnp.ndarray) -> jnp.ndarray:
+    """The H/W 2x align-corners upsample of a folded row tensor
+    (rows, H, W, L) with the (a, b) output phases packed as the two minor
+    lane factors: (rows, H, W, 4L), lane = l*4 + a*2 + b."""
+    from lintransunet_tpu.ops.resample import _linear_resize_matrix
+
+    nd, h, w, c = xf.shape
+    dt = xf.dtype
+    wh = jnp.asarray(_linear_resize_matrix(h, 2 * h).reshape(h, 2, h), dt)
+    ww = jnp.asarray(_linear_resize_matrix(w, 2 * w).reshape(w, 2, w), dt)
+
+    # contract H: (nd, h, w, c) x (ho, a, h) -> (nd, w, c, ho, a)
+    t = jax.lax.dot_general(xf, wh, (((1,), (2,)), ((), ())))
+    # contract W: (nd, w, c, ho, a) x (wo, b, w) -> (nd, c, ho, a, wo, b)
+    t = jax.lax.dot_general(t, ww, (((1,), (2,)), ((), ())))
+    t = t.transpose(0, 2, 4, 1, 3, 5)  # (nd, ho, wo, c, a, b)
+    return t.reshape(nd, h, w, 4 * c)
+
+
+def packed_upsample_x2_paired(xf: jnp.ndarray,
+                              n_volumes: int = 1) -> jnp.ndarray:
+    """fold_pairs(packed_upsample_x2_folded(xf)) computed pair-FIRST.
+
+    Pairing the UNPACKED folded input (a quarter of the packed output's
+    bytes) makes the H/W upsample contractions emit the paired lane order
+    (g, c, a, b) directly: lane = (g*C + c)*4 + a*2 + b = g*4C + c*4 +
+    a*2 + b. One full-tensor transpose instead of two (the upsample's
+    own + fold_pairs' 8C one). Bit-identical to the two-step form — the
+    dot contractions are the same multiplies; only lane bookkeeping
+    moves. Depth doubling (z2) is unsupported: pairs must be formed on
+    the FINAL depth grid, so z2 levels keep the two-step form."""
+    return _upsample_hw_pack(fold_pairs(xf, n_volumes))
+
+
 def packed_upsample_x2_folded(xf: jnp.ndarray, n_volumes: int = 1,
                               z2: bool = False) -> jnp.ndarray:
     """packed_upsample_x2 on the folded layout.
@@ -676,15 +739,7 @@ def packed_upsample_x2_folded(xf: jnp.ndarray, n_volumes: int = 1,
 
     nd, h, w, c = xf.shape
     dt = xf.dtype
-    wh = jnp.asarray(_linear_resize_matrix(h, 2 * h).reshape(h, 2, h), dt)
-    ww = jnp.asarray(_linear_resize_matrix(w, 2 * w).reshape(w, 2, w), dt)
-
-    # contract H: (nd, h, w, c) x (ho, a, h) -> (nd, w, c, ho, a)
-    t = jax.lax.dot_general(xf, wh, (((1,), (2,)), ((), ())))
-    # contract W: (nd, w, c, ho, a) x (wo, b, w) -> (nd, c, ho, a, wo, b)
-    t = jax.lax.dot_general(t, ww, (((1,), (2,)), ((), ())))
-    t = t.transpose(0, 2, 4, 1, 3, 5)  # (nd, ho, wo, c, a, b)
-    out = t.reshape(nd, h, w, 4 * c)
+    out = _upsample_hw_pack(xf)
     if z2:
         d = nd // n_volumes
         wd = jnp.asarray(_linear_resize_matrix(d, 2 * d), dt)

@@ -229,6 +229,35 @@ def test_folded_upsample_matches_packed(rng):
                                    np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_s2_taps_matches_ndhwc(rng):
+    """The depth-tap stride-2 formulation (kd NHWC convs over [strided]
+    row slices) must match the one-NDHWC-conv form for both z strides."""
+    h2, w2, d, c, o = 6, 5, 8, 3, 5
+    xf = jnp.asarray(rng.standard_normal((d, h2, w2, 4 * c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, c, o)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((o,)).astype(np.float32))
+    kp = pc.pack_kernel_stride2_jnp(k)
+    for z in (1, 2):
+        ref = pc.packed_conv3d_stride2_folded(xf, kp, b, z_stride=z,
+                                              formulation="ndhwc")
+        got = pc.packed_conv3d_stride2_folded(xf, kp, b, z_stride=z,
+                                              formulation="taps")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"z={z}")
+
+
+def test_paired_upsample_matches_two_step(rng):
+    """packed_upsample_x2_paired (pair-FIRST) must be bit-identical to
+    fold_pairs(packed_upsample_x2_folded(...)): the dot contractions are
+    the same multiplies, only the lane bookkeeping moves."""
+    n, h, w, d, c = 2, 6, 5, 4, 3
+    x = jnp.asarray(rng.standard_normal((n, h, w, d, c)).astype(np.float32))
+    xf = x.transpose(0, 3, 1, 2, 4).reshape(n * d, h, w, c)
+    ref = pc.fold_pairs(pc.packed_upsample_x2_folded(xf, n_volumes=n), n)
+    got = pc.packed_upsample_x2_paired(xf, n_volumes=n)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_folded_sheared_conv_matches_packed(rng):
     n, h2, w2, d, c, o = 2, 6, 5, 4, 3, 5
     xp = jnp.asarray(rng.standard_normal((n, h2, w2, d, 4 * c)).astype(np.float32))
