@@ -269,6 +269,7 @@ class ROIDecoder(nn.Module):
                        else self.paired)
         n = None  # volume count, set on entering the packed levels
         lvl0_paired = False  # whether level 0 actually ran paired
+        x_packed = False  # x still carries the PACKED folded layout
 
         for i in range(n_levels):
             if i == 0:
@@ -295,7 +296,16 @@ class ROIDecoder(nn.Module):
                     d_after = (x.shape[0] // n) * (2 if z2 else 1)
                     lvl_paired = _use_paired(paired_flag, folded,
                                              layers[level], d_after)
-                    if lvl_paired and not z2:
+                    if x_packed:
+                        # x stayed PACKED from the level above: the merged
+                        # (row, sub-lane-phase) contraction upsamples it
+                        # directly — the unpack round trip never exists
+                        xp = pc.packed_upsample_x2_packed_in(
+                            x, n_volumes=n, z2=z2,
+                            pair=lvl_paired and not z2)
+                        if lvl_paired and z2:
+                            xp = pc.fold_pairs(xp, n)
+                    elif lvl_paired and not z2:
                         # pair-first: one full-tensor transpose, not two
                         xp = pc.packed_upsample_x2_paired(x, n_volumes=n)
                     else:
@@ -314,7 +324,12 @@ class ROIDecoder(nn.Module):
                 if level > 0:
                     if lvl_paired:
                         x = pc.unfold_pairs(x, n)
-                    x = pc.unpack_folded(x) if folded else pk.unpack(x)
+                    if folded:
+                        # the next (packed) level upsamples straight from
+                        # the packed layout (packed_upsample_x2_packed_in)
+                        x_packed = True
+                    else:
+                        x = pk.unpack(x)
                 continue
 
             x = ops.resize_linear_align_corners(x, decoder_scale(n_levels, i))

@@ -726,6 +726,55 @@ def packed_upsample_x2_paired(xf: jnp.ndarray,
     return _upsample_hw_pack(fold_pairs(xf, n_volumes))
 
 
+def packed_upsample_x2_packed_in(xp: jnp.ndarray, n_volumes: int = 1,
+                                 z2: bool = False,
+                                 pair: bool = False) -> jnp.ndarray:
+    """packed_upsample_x2_folded(unpack_folded(xp)) WITHOUT the unpack.
+
+    xp: folded PACKED (N*D, H2, W2, 4C) [lane = c*4 + a~*2 + b~]. The H
+    contraction merges the packed row index with the sub-lane phase a~ —
+    contract dims (H2, a~) of the lane-split 6D view against the
+    align-corners matrix reshaped (H2', a, H2, a~) — and likewise W with
+    b~, so the unpack transpose (and its materialisation) never exists.
+    Bit-identical to the unpack-then-upsample form: every output is the
+    same <=2-term sum (align-corners 2x rows have <=2 nonzeros), and
+    adding the dot's remaining exact zeros is exact.
+
+    pair=True additionally pairs depth rows FIRST (valid only with
+    z2=False, asserted) and returns the PAIRED (N*D/2, 2H2, 2W2, 8C)
+    tensor directly: after fold_pairs the lane order is
+    (g*C + c)*4 + a~*2 + b~, so the same (lanes/4, 2, 2) split applies.
+    """
+    from lintransunet_tpu.ops.resample import _linear_resize_matrix
+
+    if pair:
+        assert not z2, "pair-first upsample needs the depth untouched"
+        xp = fold_pairs(xp, n_volumes)
+    nd, h2, w2, c4 = xp.shape
+    q = c4 // 4  # (g*)C lane groups
+    dt = xp.dtype
+    wh = jnp.asarray(
+        _linear_resize_matrix(2 * h2, 4 * h2).reshape(2 * h2, 2, h2, 2), dt)
+    ww = jnp.asarray(
+        _linear_resize_matrix(2 * w2, 4 * w2).reshape(2 * w2, 2, w2, 2), dt)
+    x6 = xp.reshape(nd, h2, w2, q, 2, 2)
+    # contract (H2, a~): (nd, h2, w2, q, a~, b~) x (ho, a, h2, a~)
+    #   -> (nd, w2, q, b~, ho, a)
+    t = jax.lax.dot_general(x6, wh, (((1, 4), (2, 3)), ((), ())))
+    # contract (W2, b~): -> (nd, q, ho, a, wo, b)
+    t = jax.lax.dot_general(t, ww, (((1, 3), (2, 3)), ((), ())))
+    t = t.transpose(0, 2, 4, 1, 3, 5)  # (nd, ho, wo, q, a, b)
+    out = t.reshape(nd, 2 * h2, 2 * w2, 4 * q)
+    if z2:
+        d = nd // n_volumes
+        wd = jnp.asarray(_linear_resize_matrix(d, 2 * d), dt)
+        x5 = out.reshape(n_volumes, d, 2 * h2 * 2 * w2 * 4 * q)
+        y = jax.lax.dot_general(wd, x5, (((1,), (1,)), ((), ())))
+        out = y.transpose(1, 0, 2).reshape(
+            n_volumes * 2 * d, 2 * h2, 2 * w2, 4 * q)
+    return out
+
+
 def packed_upsample_x2_folded(xf: jnp.ndarray, n_volumes: int = 1,
                               z2: bool = False) -> jnp.ndarray:
     """packed_upsample_x2 on the folded layout.

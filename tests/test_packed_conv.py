@@ -258,6 +258,27 @@ def test_paired_upsample_matches_two_step(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_packed_in_upsample_matches_unpack_then_upsample(rng):
+    """packed_upsample_x2_packed_in must match
+    packed_upsample_x2_folded(unpack_folded(...)) for all (z2, pair)
+    combinations — the merged (row, sub-lane-phase) contraction computes
+    the same <=2-term align-corners sums."""
+    n, h2, w2, d, c = 2, 5, 6, 4, 3
+    xp = jnp.asarray(
+        rng.standard_normal((n * d, h2, w2, 4 * c)).astype(np.float32))
+    for z2 in (False, True):
+        ref = pc.packed_upsample_x2_folded(pc.unpack_folded(xp),
+                                           n_volumes=n, z2=z2)
+        got = pc.packed_upsample_x2_packed_in(xp, n_volumes=n, z2=z2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6, err_msg=f"z2={z2}")
+    ref_p = pc.fold_pairs(
+        pc.packed_upsample_x2_folded(pc.unpack_folded(xp), n_volumes=n), n)
+    got_p = pc.packed_upsample_x2_packed_in(xp, n_volumes=n, pair=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_folded_sheared_conv_matches_packed(rng):
     n, h2, w2, d, c, o = 2, 6, 5, 4, 3, 5
     xp = jnp.asarray(rng.standard_normal((n, h2, w2, d, 4 * c)).astype(np.float32))
