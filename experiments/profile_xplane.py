@@ -148,7 +148,12 @@ def report(outdir, top, bucket_filter=None):
                         cats["copy"] += dur
                     elif "transformer_stack" in name:
                         cats["fused-kernel"] += dur
-                    elif "custom-call" in name:
+                    elif name.startswith("%custom-call"):
+                        # op-NAME prefix match only: the printed text also
+                        # lists operands, and a fusion consuming a
+                        # %custom-call operand is still a fusion (the old
+                        # substring match misattributed ~4.5 ms/run of conv
+                        # fusions on the round-4 eval trace)
                         cats["custom-call-other"] += dur
                     elif name.startswith(("%fusion", "%convert_reduce",
                                           "%compare_select", "%loop_")):

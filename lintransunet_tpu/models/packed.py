@@ -193,10 +193,14 @@ class PackedConv(nn.Module):
                 xp, kp.astype(xp.dtype), bp.astype(xp.dtype),
                 kd_pad=self.kernel_size // 2)
         if self.mode == "s2":
-            assert not paired, \
-                "stride-2 conv leaves the pair grid; unfold_pairs first"
             kp = (kernel if kernel.shape[0] == 2
                   else pc.pack_kernel_stride2_jnp(kernel))
+            if paired:
+                # consumed in the pair layout: z_stride=1 returns PAIR-LANE
+                # (N*Dp, H2, W2, 2O); z_stride=2 returns folded unpacked
+                return pc.packed_conv3d_stride2_paired(
+                    xp, kp.astype(xp.dtype), bias.astype(xp.dtype),
+                    n_volumes=n_volumes, z_stride=self.z_stride)
             if n_volumes is not None:
                 return pc.packed_conv3d_stride2_folded(
                     xp, kp.astype(xp.dtype), bias.astype(xp.dtype),
@@ -283,14 +287,22 @@ class PackedDownBlock(nn.Module):
                     pc.group_instance_norm_packed(y, self.in_channels))
         if self.is_res:
             y = y + xp
-        # the strided downsample's output leaves the pair grid (its depth
-        # stride re-phases rows): run it on the folded layout
-        y_s2 = pc.unfold_pairs(y, n_volumes) if paired else y
+        s2_paired = paired and pc.S2_PAIRED
+        # without the paired s2 path the strided downsample runs on the
+        # folded layout (unfold_pairs materialises pad+relayout copies)
+        y_s2 = pc.unfold_pairs(y, n_volumes) if paired and not s2_paired \
+            else y
         z = PackedConv(self.out_channels, self.in_channels, mode="s2",
                        z_stride=self.z_stride,
                        kernel_size=self.kernel_size, dtype=self.dtype,
-                       name="conv2")(y_s2, n_volumes=n_volumes)
-        if n_volumes is not None:
+                       name="conv2")(y_s2, n_volumes=n_volumes,
+                                     paired=s2_paired)
+        if s2_paired and self.z_stride == 1:
+            # z is PAIR-LANE (N*Dp, H2, W2, 2O); the caller converts with
+            # pack_folded_from_pairs / unfold_pair_lanes
+            z = ops.leaky_relu(pc.instance_norm_pairs(
+                z, n_volumes=n_volumes))
+        elif n_volumes is not None:
             z = ops.leaky_relu(pc.instance_norm_folded(z, n_volumes=n_volumes))
         else:
             z = ops.leaky_relu(ops.instance_norm(z))

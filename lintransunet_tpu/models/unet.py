@@ -159,6 +159,8 @@ class Encoder(nn.Module):
 
         for i in range(1, len(self.num_layers)):
             if i <= p_levels:
+                blk_paired = _use_paired(paired_flag, folded,
+                                         self.num_layers[i - 1], cur_d)
                 x, skip_p = pk.PackedDownBlock(
                     in_channels=self.num_layers[i - 1],
                     out_channels=self.num_layers[i],
@@ -167,18 +169,25 @@ class Encoder(nn.Module):
                     dropout=self.dropout,
                     dtype=self.dtype,
                     name=f"block_list_{i - 1}")(
-                        xp, train=train, n_volumes=nv,
-                        paired=_use_paired(paired_flag, folded,
-                                           self.num_layers[i - 1], cur_d))
+                        xp, train=train, n_volumes=nv, paired=blk_paired)
                 skips.append(skip_p)
+                # a paired block's z1 downsample returns PAIR-LANE rows
+                # (packed_conv3d_stride2_paired); z2 output is folded
+                pair_lane = (blk_paired and pc.S2_PAIRED
+                             and encoder_stride(i)[2] == 1)
                 cur_d //= encoder_stride(i)[2]
                 if i < p_levels:
-                    xp = pc.pack_folded(x) if folded else pk.pack(x)
+                    if pair_lane:
+                        xp = pc.pack_folded_from_pairs(x, n)
+                    else:
+                        xp = pc.pack_folded(x) if folded else pk.pack(x)
                     if _use_paired(paired_flag, folded, self.num_layers[i],
                                    cur_d):
                         xp = pc.fold_pairs(xp, n)
                 elif folded:
                     # crossing into the unpacked levels: unfold once
+                    if pair_lane:
+                        x = pc.unfold_pair_lanes(x, n)
                     x = pc.unfold_depth(x, n)
             else:
                 x, skip = DownBlock(

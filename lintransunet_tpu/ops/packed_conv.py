@@ -485,6 +485,12 @@ def packed_conv3d_stride1_sheared_folded(xf: jnp.ndarray, sheared_kernel,
 # patches/s (+2.6%) -> taps is the default.
 S2_FORMULATION = os.environ.get("LINTRANSUNET_S2", "taps")
 
+# Whether a PAIRED level's downsample consumes the paired layout directly
+# (packed_conv3d_stride2_paired) instead of unfold_pairs-then-folded-s2.
+# Kills the unfold's pad+relayout copies (~2.2 ms/window at the L0->L1
+# crossing on the round-4 eval trace) and runs the in-pair taps at K=8C.
+S2_PAIRED = os.environ.get("LINTRANSUNET_S2_PAIRED", "1") == "1"
+
 
 def packed_conv3d_stride2_folded(xf: jnp.ndarray, packed_kernel, bias=None,
                                  n_volumes: int = 1, z_stride: int = 1,
@@ -884,6 +890,133 @@ def pair_kernel_stride1_3d_jnp(packed_kernel: jnp.ndarray) -> jnp.ndarray:
         jnp.concatenate([z, z], axis=-1),               # g_in = 1: nothing
     ], axis=-2)
     return jnp.stack([prev, pair_kernel_stride1_jnp(kp), nxt], axis=0)
+
+
+def pair_kernel_stride2_jnp(packed_kernel: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 pack (2, 2, 3, 4C, O) -> in-pair kernel (2, 2, 8C, 2O).
+
+    For the z_stride=1 downsample consumed in the PAIRED layout: output
+    depth dz reads input depths dz-1..dz+1 (kd taps 0..2), so the pair-row
+    outputs (2r, 2r+1) draw from pair row r as [[kd=1, kd=0], [kd=2, kd=1]]
+    — the same (g_in, g_out) tap-delta structure as the stride-1 pair
+    kernel, on the 2x2 H/W taps of the strided pack."""
+    kp = packed_kernel
+    top = jnp.concatenate([kp[:, :, 1], kp[:, :, 0]], axis=-1)  # g_in = 0
+    bot = jnp.concatenate([kp[:, :, 2], kp[:, :, 1]], axis=-1)  # g_in = 1
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def packed_conv3d_stride2_paired(x8: jnp.ndarray, packed_kernel, bias=None,
+                                 n_volumes: int = 1,
+                                 z_stride: int = 1) -> jnp.ndarray:
+    """packed_conv3d_stride2 consumed directly in the PAIRED layout.
+
+    x8: (N*Dp, H2, W2, 8C); packed_kernel: (2, 2, 3, 4C, O) from
+    pack_kernel_stride2_jnp. Bit-identical function to
+    packed_conv3d_stride2_folded on the unfold_pairs view — without ever
+    materialising the unfold (the round-4 eval trace pays ~2.2 ms/window
+    of pad+relayout copies for it at the L0->L1 crossing), and with the
+    in-pair taps contracted at the full K=8C MXU width.
+
+    z_stride=1: returns PAIR-LANE unpacked (N*Dp, H2, W2, 2O), lane
+    g*O + o (g-major, the fold_pairs convention) — out depths (2r, 2r+1)
+    live in pair row r. Convert with unfold_pair_lanes /
+    pack_folded_from_pairs.
+    z_stride=2: the depth window of output dz IS pair row dz (+ one
+    boundary tap), so the result is already folded unpacked
+    (N*Dp, H2, W2, O) at the halved depth.
+    """
+    assert packed_kernel.shape[2] == 3, "paired s2 path expects kd == 3"
+    kp = packed_kernel.astype(x8.dtype)
+    ndp, h2, w2, c8 = x8.shape
+    c4 = c8 // 2
+    dp = ndp // n_volumes
+
+    def conv2d_s2(x, k):
+        # output on the packed (coarse) grid: stride 1, asymmetric (1, 0)
+        # pads (see packed_conv3d_stride2_folded)
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # boundary tap: out depth 2r (z1) / dz (z2) reads depth 2r-1 = pair
+    # r-1, g=1 via kd tap 0. 4D slices when single-volume (the 5D reshape
+    # would alias — see packed_conv3d_stride1_paired).
+    if n_volumes == 1:
+        prev_g1 = jnp.pad(x8[:-1, :, :, c4:],
+                          ((1, 0), (0, 0), (0, 0), (0, 0)))
+    else:
+        x5 = x8.reshape(n_volumes, dp, h2, w2, c8)
+        prev_g1 = jnp.pad(x5[:, :-1, :, :, c4:],
+                          ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0))
+                          ).reshape(ndp, h2, w2, c4)
+    if z_stride == 2:
+        # out[dz] = kd0*in[2dz-1] + kd1*in[2dz] + kd2*in[2dz+1]
+        #         = kd0*pair[dz-1].g1 + [kd1, kd2] . pair[dz]
+        y = conv2d_s2(x8, jnp.concatenate([kp[:, :, 1], kp[:, :, 2]],
+                                          axis=-2))
+        y = y + conv2d_s2(prev_g1, kp[:, :, 0])
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+    assert z_stride == 1, "paired s2 supports z_stride in (1, 2)"
+    if n_volumes == 1:
+        next_g0 = jnp.pad(x8[1:, :, :, :c4],
+                          ((0, 1), (0, 0), (0, 0), (0, 0)))
+    else:
+        next_g0 = jnp.pad(x5[:, 1:, :, :, :c4],
+                          ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0))
+                          ).reshape(ndp, h2, w2, c4)
+    y = conv2d_s2(x8, pair_kernel_stride2_jnp(kp))
+    up = conv2d_s2(prev_g1, kp[:, :, 0])     # -> out depth 2r   (g_out=0)
+    dn = conv2d_s2(next_g0, kp[:, :, 2])     # -> out depth 2r+1 (g_out=1)
+    y = y + jnp.concatenate([up, dn], axis=-1)
+    if bias is not None:
+        b = bias.astype(y.dtype)
+        y = y + jnp.concatenate([b, b])
+    return y
+
+
+def instance_norm_pairs(xq: jnp.ndarray, n_volumes: int = 1,
+                        eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm on PAIR-LANE unpacked (N*Dp, H, W, 2O), lane g*O + o.
+
+    Stats per (volume, channel o) pooling the two pair groups — identical
+    to instance_norm_folded on the unfold_pair_lanes view."""
+    ndp, h, w, c2 = xq.shape
+    o = c2 // 2
+    dp = ndp // n_volumes
+    return _lane_norm(
+        xq, n_volumes,
+        pool=lambda s: s.reshape(-1, 2, o).sum(1),
+        tile=lambda m: jnp.tile(m, (1, 2)),
+        count=2 * dp * h * w, eps=eps)
+
+
+def unfold_pair_lanes(xq: jnp.ndarray, n_volumes: int = 1) -> jnp.ndarray:
+    """Pair-lane unpacked (N*Dp, H, W, 2O) -> folded unpacked
+    (N*D, H, W, O). The unpacked-channel analogue of unfold_pairs."""
+    ndp, h, w, c2 = xq.shape
+    o = c2 // 2
+    x = xq.reshape(ndp, h, w, 2, o)
+    x = x.transpose(0, 3, 1, 2, 4)
+    return x.reshape(ndp * 2, h, w, o)
+
+
+def pack_folded_from_pairs(xq: jnp.ndarray, n_volumes: int = 1
+                           ) -> jnp.ndarray:
+    """Pair-lane unpacked (N*Dp, H, W, 2O) -> folded PACKED
+    (N*2Dp, H/2, W/2, 4O) in ONE transpose.
+
+    == pack_folded(unfold_pair_lanes(xq, n)) with the two transposes
+    merged (rows stay volume-major: (n, r, g) -> n*(2r+g))."""
+    ndp, h, w, c2 = xq.shape
+    o = c2 // 2
+    dp = ndp // n_volumes
+    x8 = xq.reshape(n_volumes, dp, h // 2, 2, w // 2, 2, 2, o)
+    # (n, r, h2, a, w2, b, g, o) -> (n, r, g, h2, w2, o, a, b)
+    x8 = x8.transpose(0, 1, 6, 2, 4, 7, 3, 5)
+    return x8.reshape(n_volumes * 2 * dp, h // 2, w // 2, 4 * o)
 
 
 # How the paired stride-1 conv handles its two cross-pair boundary taps

@@ -867,3 +867,46 @@ def test_upblock_dual_matches_concat(rng, monkeypatch, paired):
     got = np.asarray(up.apply(params, xu, skip, train=False, n_volumes=n,
                               paired=paired))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n", [1, 2])
+@pytest.mark.parametrize("z_stride", [1, 2])
+def test_paired_s2_conv_matches_folded(rng, n, z_stride):
+    """packed_conv3d_stride2_paired == packed_conv3d_stride2_folded on the
+    unfold_pairs view, for both depth strides and volume counts (the pair
+    row IS the z2 depth window; z1 returns pair-lane rows)."""
+    h2, w2, d, c, o = 6, 5, 8, 3, 5
+    kernel = rng.standard_normal((3, 3, 3, c, o)).astype(np.float32)
+    bias = rng.standard_normal((o,)).astype(np.float32)
+    kp = pc.pack_kernel_stride2_jnp(jnp.asarray(kernel))
+    xf = jnp.asarray(
+        rng.standard_normal((n * d, h2, w2, 4 * c)).astype(np.float32))
+    x8 = pc.fold_pairs(xf, n)
+    ref = pc.packed_conv3d_stride2_folded(
+        xf, kp, jnp.asarray(bias), n_volumes=n, z_stride=z_stride,
+        formulation="taps" if n == 1 else "ndhwc")
+    got = pc.packed_conv3d_stride2_paired(
+        x8, kp, jnp.asarray(bias), n_volumes=n, z_stride=z_stride)
+    if z_stride == 1:
+        got = pc.unfold_pair_lanes(got, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_instance_norm_pairs_matches_folded(rng):
+    n, dp, h, w, o = 2, 4, 6, 5, 7
+    xq = jnp.asarray(
+        rng.standard_normal((n * dp, h, w, 2 * o)).astype(np.float32))
+    ref = pc.instance_norm_folded(pc.unfold_pair_lanes(xq, n), n_volumes=n)
+    got = pc.unfold_pair_lanes(pc.instance_norm_pairs(xq, n_volumes=n), n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pack_folded_from_pairs_matches_two_step(rng):
+    n, dp, h, w, o = 2, 3, 8, 6, 5
+    xq = jnp.asarray(
+        rng.standard_normal((n * dp, h, w, 2 * o)).astype(np.float32))
+    ref = pc.pack_folded(pc.unfold_pair_lanes(xq, n))
+    got = pc.pack_folded_from_pairs(xq, n)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
