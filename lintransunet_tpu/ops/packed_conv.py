@@ -1003,6 +1003,13 @@ def unfold_pair_lanes(xq: jnp.ndarray, n_volumes: int = 1) -> jnp.ndarray:
     return x.reshape(ndp * 2, h, w, o)
 
 
+# How the pair-lane -> folded-packed relayout lowers (trace-time):
+# "fused" = one 8D transpose (XLA stages it as TWO copies, 1.74 ms/window
+# on the round-4 trace at the L0->L1 crossing); "2step" = explicit
+# unfold_pair_lanes + pack_folded (two cheaper transposes).
+PAIRS_PACK = os.environ.get("LINTRANSUNET_PAIRS_PACK", "fused")
+
+
 def pack_folded_from_pairs(xq: jnp.ndarray, n_volumes: int = 1
                            ) -> jnp.ndarray:
     """Pair-lane unpacked (N*Dp, H, W, 2O) -> folded PACKED
@@ -1010,6 +1017,8 @@ def pack_folded_from_pairs(xq: jnp.ndarray, n_volumes: int = 1
 
     == pack_folded(unfold_pair_lanes(xq, n)) with the two transposes
     merged (rows stay volume-major: (n, r, g) -> n*(2r+g))."""
+    if PAIRS_PACK == "2step":
+        return pack_folded(unfold_pair_lanes(xq, n_volumes))
     ndp, h, w, c2 = xq.shape
     o = c2 // 2
     dp = ndp // n_volumes
