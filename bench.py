@@ -84,7 +84,8 @@ def main():
     runner = SlidingWindowRunner(
         lambda x, p: forward(p, x), roi, args.sw_batch, overlap=0.6,
         mode="constant", depth_bucket=roi[2],
-        chunk_bucket=args.chunk_bucket)
+        chunk_bucket=args.chunk_bucket,
+        derive_background=forward.fg_only)
 
     volume = jnp.asarray(
         rng.standard_normal(vol_shape).astype(np.float32)).astype(jnp.bfloat16)

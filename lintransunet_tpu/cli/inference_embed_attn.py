@@ -62,7 +62,8 @@ def main(args):
         lambda x, params: eval_fwd(params, x),
         roi_size=(args.roi_size, args.roi_size, args.depth_size),
         sw_batch_size=args.sw_batch_size, overlap=args.overlap,
-        mode="constant", depth_bucket=32)
+        mode="constant", depth_bucket=32,
+        derive_background=eval_fwd.fg_only)
 
     if args.is_save:
         os.makedirs(args.saved_folder, exist_ok=True)

@@ -66,6 +66,7 @@ def main(args):
     eval_fwd = engine.make_eval_forward(model)
     runner = engine.SlidingWindowRunner(
         lambda x, params: eval_fwd(params, x),
+        derive_background=eval_fwd.fg_only,
         roi_size=(args.roi_size, args.roi_size, args.depth_size),
         sw_batch_size=args.sw_batch_size, overlap=args.overlap,
         mode="constant", depth_bucket=32)

@@ -110,7 +110,8 @@ def main(args):
         roi_size=(args.image_crop, args.image_crop,
                   getattr(args, "eval_depth", 64)),
         sw_batch_size=1, overlap=0.6, mode="constant",
-        depth_bucket=min(32, getattr(args, "eval_depth", 64)))
+        depth_bucket=min(32, getattr(args, "eval_depth", 64)),
+        derive_background=eval_fwd.fg_only)
     # eval-time conv-kernel prepack: one param transform per eval epoch
     # instead of one per window forward (models/packed.py:prepack_params)
     eval_plan = models.prepack_plan(model, jax.ShapeDtypeStruct(

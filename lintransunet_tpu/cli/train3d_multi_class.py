@@ -109,6 +109,7 @@ def main(args):
     eval_fwd = engine.make_eval_forward(model)
     runner = engine.SlidingWindowRunner(
         lambda x, params: eval_fwd(params, x),
+        derive_background=eval_fwd.fg_only,
         roi_size=(args.image_crop, args.image_crop,
                   getattr(args, "eval_depth", 64)),
         sw_batch_size=1, overlap=0.6, mode="constant",

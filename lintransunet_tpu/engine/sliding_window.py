@@ -336,10 +336,17 @@ class SlidingWindowRunner:
 
     def __init__(self, predictor, roi_size, sw_batch_size, overlap=0.6,
                  mode="constant", sigma_scale=0.0, depth_bucket=32,
-                 chunk_bucket=1):
+                 chunk_bucket=1, derive_background=False):
         # chunk_bucket=1 (default) never pays pad-window forwards — the
         # honest-bench configuration. Raise it only when a dataset's depth
         # spread causes too many distinct compiled programs.
+        #
+        # derive_background: the predictor emits ONLY the class-1 channel
+        # of a 2-class one-hot/softmax (make_eval_forward(fg_only=True));
+        # the runner blends that single channel and reconstructs
+        # ch0 = 1 - ch1 once per volume — exact for any blend weights
+        # since sum(w*(1-p))/sum(w) == 1 - sum(w*p)/sum(w).
+        self.derive_background = derive_background
         self.predictor = predictor
         self.roi_size = tuple(roi_size)
         # Split execution runs every window at its native batch, so chunk
@@ -393,7 +400,7 @@ class SlidingWindowRunner:
     def _compiled(self, padded_shape, n_chunks):
         key = (padded_shape, n_chunks)
         if key not in self._programs:
-            self._programs[key] = jax.jit(functools.partial(
+            run = functools.partial(
                 sliding_window_inference,
                 roi_size=self.roi_size,
                 sw_batch_size=self.sw_batch_size,
@@ -401,7 +408,14 @@ class SlidingWindowRunner:
                 overlap=self.overlap,
                 mode=self.mode,
                 sigma_scale=self.sigma_scale,
-            ))
+            )
+            if self.derive_background:
+                def run_bg(*args, _run=run, **kw):
+                    fg = _run(*args, **kw)
+                    return jnp.concatenate([1.0 - fg, fg], axis=-1)
+                self._programs[key] = jax.jit(run_bg)
+            else:
+                self._programs[key] = jax.jit(run)
         return self._programs[key]
 
     def run_batch(self, volumes, *predictor_args, mesh=None):
@@ -473,12 +487,15 @@ class SlidingWindowRunner:
         key = ("dp", b, h, w, d_common, c, n_chunks, mesh is not None)
         if key not in self._programs:
             def one(vol, starts, weights, norm, args):
-                return sliding_window_inference(
+                out = sliding_window_inference(
                     vol, self.roi_size, self.sw_batch_size, self.predictor,
                     overlap=self.overlap, mode=self.mode,
                     sigma_scale=self.sigma_scale, norm=norm,
                     importance=self._imp, predictor_args=args,
                     window_starts=starts, window_weights=weights)
+                if self.derive_background:
+                    out = jnp.concatenate([1.0 - out, out], axis=-1)
+                return out
 
             batched = jax.vmap(one, in_axes=(0, 0, 0, 0, None))
             if mesh is not None:

@@ -175,14 +175,36 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def make_eval_forward(model) -> Callable:
+def make_eval_forward(model, fg_only=None) -> Callable:
     """Jittable eval forward: (params, window_batch) -> probabilities.
 
     For MaskTransUnet this is the one-hot argmax branch, exactly what the
     reference feeds into sliding_window_inference (trans_3DUnet.py:199-202).
+
+    ``fg_only`` (None = auto): for a 2-class MaskTransUnet, emit only the
+    class-1 one-hot channel and let the sliding-window runner derive the
+    background (exact — see models.registry.folded_one_hot_fg). Pair with
+    ``SlidingWindowRunner(..., derive_background=forward.fg_only)``; the
+    returned callable carries the resolved flag as ``forward.fg_only``.
+    Auto resolves via LINTRANSUNET_EVAL_FG (default on) for 2-class
+    MaskTransUnet only; other models/class counts keep full channels.
     """
+    import os
 
-    def forward(params, x):
-        return model.apply({"params": params}, x, train=False)
+    from lintransunet_tpu.models.registry import MaskTransUnet
 
+    if fg_only is None:
+        fg_only = (os.environ.get("LINTRANSUNET_EVAL_FG", "1") == "1"
+                   and isinstance(model, MaskTransUnet)
+                   and model.dim_output == 2)
+
+    if fg_only:
+        def forward(params, x):
+            return model.apply({"params": params}, x, train=False,
+                               fg_only=True)
+    else:
+        def forward(params, x):
+            return model.apply({"params": params}, x, train=False)
+
+    forward.fg_only = fg_only
     return forward

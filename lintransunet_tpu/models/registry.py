@@ -87,6 +87,38 @@ def folded_one_hot_argmax2(xf: Array, n_volumes: int) -> Array:
     return folded_one_hot_argmax(xf, 2, n_volumes)
 
 
+def folded_one_hot_fg(xf: Array, n_volumes: int) -> Array:
+    """Class-1 (foreground) channel of folded_one_hot_argmax2, computed at
+    HALF the epilogue width.
+
+    For dim_output=2 the one-hot output satisfies ch0 == 1 - ch1 exactly,
+    and that identity survives any weighted sliding-window blend
+    (sum(w*(1-p))/sum(w) == 1 - sum(w*p)/sum(w)) — so eval can emit just
+    the foreground and the runner derives the background once per volume
+    (SlidingWindowRunner(derive_background=True)). Halves the
+    full-resolution epilogue transposes and the per-window blend traffic
+    (~2.8 ms/window of epilogue copies on the round-4 trace). Tie rule
+    matches jnp.argmax (tie -> class 0 -> fg 0: strict >)."""
+    m = xf.shape[-1] // 2
+    fg = (xf[..., m:] > xf[..., :m]).astype(xf.dtype)
+    from lintransunet_tpu import ops
+    from lintransunet_tpu.ops import packed_conv as pc
+
+    fg = pc.unfold_depth(pc.unpack_folded(fg), n_volumes)
+    return ops.windows_unembedding(fg, 2)
+
+
+def packed_one_hot_fg(xp: Array, unpack_times: int = 2) -> Array:
+    """folded_one_hot_fg for the packed 5D eval layout."""
+    from lintransunet_tpu import ops
+
+    m = xp.shape[-1] // 2
+    fg = (xp[..., m:] > xp[..., :m]).astype(xp.dtype)
+    for _ in range(unpack_times):
+        fg = ops.windows_unembedding(fg, 2)
+    return fg
+
+
 class TraditionUnet(nn.Module):
     """Plain 3D UNet (trans_3DUnet.py:7-35)."""
 
@@ -217,11 +249,17 @@ class MaskTransUnet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False, return_aux=None):
+    def __call__(self, x: Array, train: bool = False, return_aux=None,
+                 fg_only: bool = False):
         """``train`` gates dropout; ``return_aux`` (default: train) selects
         the (out, mask_list) train branch vs the one-hot-argmax eval branch,
-        so the train branch can be evaluated deterministically."""
+        so the train branch can be evaluated deterministically. ``fg_only``
+        (eval branch, dim_output=2 only) emits just the class-1 one-hot
+        channel — see folded_one_hot_fg for why and when that is exact."""
         from lintransunet_tpu.ops import packed_conv as pc
+
+        if fg_only and self.dim_output != 2:
+            raise ValueError("fg_only eval requires dim_output == 2")
 
         if return_aux is None:
             return_aux = train
@@ -255,9 +293,14 @@ class MaskTransUnet(nn.Module):
             return out, mask_list
         if packed_eval:
             if folded:
+                if fg_only:
+                    return folded_one_hot_fg(out, x.shape[0])
                 return folded_one_hot_argmax(out, self.dim_output, x.shape[0])
+            if fg_only:
+                return packed_one_hot_fg(out)
             return packed_one_hot_argmax(out, self.dim_output)
-        return one_hot_argmax(out)
+        oh = one_hot_argmax(out)
+        return oh[..., 1:] if fg_only else oh
 
 
 Model_Dict = {

@@ -75,6 +75,31 @@ def _stats_input(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+# How the normalise APPLY is computed (trace-time). Stats (mean/rstd) are
+# always f32; "f32" applies (x32 - mean) * rstd in f32 then casts back
+# (the round-1..4 default), "affine" folds them into per-channel
+# scale/shift = (rstd, -mean*rstd) cast to the TENSOR dtype and applies
+# one bf16 FMA — no full-tensor f32 intermediate. The [128]/[64]-stat
+# consumer fusions measured ~5x over their read+write floor on the
+# round-4 trace; the f32 elementwise chain is the suspect.
+NORM_APPLY = os.environ.get("LINTRANSUNET_NORM_APPLY", "f32")
+
+
+def apply_norm(x: jnp.ndarray, mean: jnp.ndarray, rstd: jnp.ndarray,
+               x32=None) -> jnp.ndarray:
+    """Normalise ``x`` with broadcast-ready f32 ``mean``/``rstd``.
+
+    ``x32`` optionally passes a precomputed f32 view of x (reused from the
+    stats pass in the f32 mode; ignored in affine mode)."""
+    if NORM_APPLY == "affine":
+        scale = rstd.astype(x.dtype)
+        shift = (-mean * rstd).astype(x.dtype)
+        return x * scale + shift
+    if x32 is None:
+        x32 = x.astype(jnp.float32)
+    return ((x32 - mean) * rstd).astype(x.dtype)
+
+
 def moment_stats(x32: jnp.ndarray, axes, eps: float):
     """Single-pass (mean, rsqrt(var+eps)) over ``axes``.
 
@@ -96,7 +121,7 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     axes = tuple(range(1, x.ndim - 1))
     x32 = _stats_input(x).astype(jnp.float32)
     mean, rstd = moment_stats(x32, axes, eps)
-    return ((x32 - mean) * rstd).astype(x.dtype)
+    return apply_norm(x, mean, rstd, x32=x32)
 
 
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.01) -> jnp.ndarray:

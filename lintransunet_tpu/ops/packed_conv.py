@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lintransunet_tpu.ops.conv import (IN_STATS, _stats_input,
-                                       conv3d, moment_stats)
+from lintransunet_tpu.ops.conv import (IN_STATS, NORM_APPLY, _stats_input,
+                                       apply_norm, conv3d, moment_stats)
 
 # Read once at import time: this flag is consulted at TRACE time inside
 # jitted model code, so mutating the env var after programs are compiled
@@ -319,6 +319,10 @@ def group_instance_norm_packed(x_packed: jnp.ndarray, channels: int,
     x_packed = _stats_input(x_packed)
     x32 = x_packed.astype(jnp.float32).reshape(n, h, w, d, channels, 4)
     mean, rstd = moment_stats(x32, (1, 2, 3, 5), eps)
+    if NORM_APPLY == "affine":
+        mean_l = jnp.repeat(mean[..., 0], 4, -1).reshape(n, 1, 1, 1, c4)
+        rstd_l = jnp.repeat(rstd[..., 0], 4, -1).reshape(n, 1, 1, 1, c4)
+        return apply_norm(x_packed, mean_l, rstd_l)
     out = (x32 - mean) * rstd
     return out.reshape(n, h, w, d, c4).astype(x_packed.dtype)
 
@@ -627,10 +631,10 @@ def _lane_norm(xf: jnp.ndarray, n_volumes: int, pool, tile, count: int,
         d = nd // n_volumes
         mean_l = jnp.repeat(mean_l, d, axis=0)   # (nd, L)
         rstd_l = jnp.repeat(rstd_l, d, axis=0)
-        out = (x32 - mean_l[:, None, None, :]) * rstd_l[:, None, None, :]
-    else:
-        out = (x32 - mean_l[0]) * rstd_l[0]
-    return out.astype(xf.dtype)
+        return apply_norm(xf, mean_l[:, None, None, :],
+                          rstd_l[:, None, None, :],
+                          x32=x32)
+    return apply_norm(xf, mean_l[0], rstd_l[0], x32=x32)
 
 
 def group_instance_norm_folded(xf: jnp.ndarray, channels: int,

@@ -340,3 +340,42 @@ def test_model_batch_equivariance(rng):
     singles = np.concatenate(
         [np.asarray(fwd(variables, x[i:i + 1])) for i in range(2)], axis=0)
     np.testing.assert_allclose(both, singles, rtol=2e-5, atol=2e-6)
+
+
+def test_fg_only_eval_and_derive_background(rng):
+    """The fg-only eval path + runner derive_background must reproduce the
+    full 2-channel sliding-window output EXACTLY: the one-hot satisfies
+    ch0 == 1 - ch1 and the identity survives any weighted blend
+    (sum(w*(1-p))/sum(w) == 1 - sum(w*p)/sum(w))."""
+    from lintransunet_tpu.models import MaskTransUnet
+
+    model = MaskTransUnet(
+        num_layers=(8, 16, 32), roi_size_list=(8, 6, 4),
+        is_roi_list=(False, True, True), dim_input=1, dim_output=2,
+        n_layers=1, packed_levels=2)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 4, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    full_fwd = engine.make_eval_forward(model, fg_only=False)
+    fg_fwd = engine.make_eval_forward(model, fg_only=True)
+    assert not full_fwd.fg_only and fg_fwd.fg_only
+
+    # forward-level: fg == class-1 channel of the full one-hot
+    full = np.asarray(full_fwd(variables["params"], x))
+    fg = np.asarray(fg_fwd(variables["params"], x))
+    assert fg.shape == full.shape[:-1] + (1,)
+    np.testing.assert_array_equal(fg[..., 0], full[..., 1])
+
+    # runner-level: blended outputs identical through overlap weighting
+    vol = jnp.asarray(rng.standard_normal((1, 16, 16, 10, 1)
+                                          ).astype(np.float32))
+    kw = dict(roi_size=(16, 16, 4), sw_batch_size=1, overlap=0.6,
+              mode="constant", depth_bucket=2)
+    ref_runner = engine.SlidingWindowRunner(
+        lambda b, p: full_fwd(p, b), **kw)
+    fg_runner = engine.SlidingWindowRunner(
+        lambda b, p: fg_fwd(p, b), derive_background=True, **kw)
+    ref = np.asarray(ref_runner(vol, variables["params"]))
+    got = np.asarray(fg_runner(vol, variables["params"]))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-6)
