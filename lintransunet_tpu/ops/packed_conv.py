@@ -72,6 +72,11 @@ def resolve_s1_formulation(c4: int, formulation: str = None) -> str:
         # or below the MXU K=64 half-width, where folded "3d" sits at the
         # ~49 TF/s cap); wider levels keep the measured "taps" winner.
         return "sheared" if c4 <= 64 else "taps"
+    if f == "dspatial64":
+        # dspatial only on the narrow levels where it beats every other
+        # formulation isolated (L0 chain 7.25 ms vs 3d 15.67 / paired 9.57,
+        # experiments/dspatial_probe.py); at 4C=128 taps measured equal.
+        return "dspatial" if c4 <= 64 else "taps"
     return f
 
 
@@ -391,6 +396,35 @@ def unfold_depth(xf: jnp.ndarray, n_volumes: int) -> jnp.ndarray:
     return x.transpose(0, 2, 3, 1, 4)
 
 
+# dimension_numbers for the "dspatial" formulation: lhs (ND, H2, W2, C)
+# with batch=H2, feature=C, spatial=(rows, W2); rhs (kd, kw, C, O); output
+# dims mirror the lhs.
+_DN_DSPATIAL = jax.lax.ConvDimensionNumbers(
+    lhs_spec=(1, 3, 0, 2), rhs_spec=(3, 2, 0, 1), out_spec=(1, 3, 0, 2))
+
+
+def _conv3d_s1_folded_dspatial(xf: jnp.ndarray, kp: jnp.ndarray,
+                               bias=None) -> jnp.ndarray:
+    """See packed_conv3d_stride1_folded's "dspatial" docstring (n==1)."""
+    h2 = xf.shape[1]
+
+    def conv_ds(x, k):
+        # x: (ND, H2', W2, C); k: (kd, kw, C, O) -> (ND, H2', W2, O)
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(1, 1), (1, 1)], dimension_numbers=_DN_DSPATIAL)
+
+    # per-kh kernel slice: (kw, kd, C, O) -> (kd, kw, C, O)
+    k = [kp[kh].transpose(1, 0, 2, 3) for kh in range(3)]
+    out = conv_ds(xf, k[1])
+    out = out + jnp.pad(conv_ds(xf[:, :h2 - 1], k[0]),
+                        ((0, 0), (1, 0), (0, 0), (0, 0)))
+    out = out + jnp.pad(conv_ds(xf[:, 1:], k[2]),
+                        ((0, 0), (0, 1), (0, 0), (0, 0)))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 def packed_conv3d_stride1_folded(xf: jnp.ndarray, packed_kernel, bias=None,
                                  n_volumes: int = 1,
                                  formulation: str = None) -> jnp.ndarray:
@@ -407,6 +441,19 @@ def packed_conv3d_stride1_folded(xf: jnp.ndarray, packed_kernel, bias=None,
     * "taps": three depth-shifted 2D convs (the formulation that beats
       conv3d 1.6x on the unfolded path); depth shifts are leading-dim row
       slices of the per-volume zero-padded buffer.
+    * "dspatial": batch=H2, spatial=(rows, W2) via explicit
+      ConvDimensionNumbers. XLA lays the folded buffer out {3,0,2,1} —
+      rows second-minor (sublane), H major-most — so the "taps" row shifts
+      are sublane shifts that XLA must materialise, while H-slices are
+      free views. dspatial moves the depth taps INSIDE the conv (the
+      conv's zero padding at the row ends is exactly the n_volumes=1
+      semantics) and runs the 3 kh taps on free H-slices with their
+      outputs padded back (the pads fuse into the adds). Same MACs;
+      single-volume only (the conv would leak across interior volume
+      boundaries), n_volumes>1 falls back to "taps". Tap regrouping
+      (kd-major -> kh-major partial sums) makes this within-ulp, not
+      bitwise, vs the other formulations. Isolated L0 chain: 7.25 ms vs
+      3d 15.67 / taps ~9.8 / paired-pads 9.57 (dspatial_probe.py, v5e).
     """
     formulation = resolve_s1_formulation(xf.shape[-1], formulation)
     assert packed_kernel.shape[2] == 3, "folded path expects kd == 3"
@@ -414,6 +461,10 @@ def packed_conv3d_stride1_folded(xf: jnp.ndarray, packed_kernel, bias=None,
     nd, h2, w2, c4 = xf.shape
     d = nd // n_volumes
     o4 = packed_kernel.shape[-1]
+    if formulation == "dspatial":
+        if n_volumes == 1:
+            return _conv3d_s1_folded_dspatial(xf, packed_kernel, bias)
+        formulation = "taps"
     if formulation == "3d":
         x5 = xf.reshape(n_volumes, d, h2, w2, c4)
         kd_first = packed_kernel.transpose(2, 0, 1, 3, 4)  # (kd, kh, kw, I, O)

@@ -167,6 +167,35 @@ def test_folded_stride1_conv_matches_packed(rng):
                                    np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_folded_stride1_dspatial_matches_taps(rng):
+    """The dspatial formulation (batch=H, spatial=(rows, W)) computes the
+    same conv; tap regrouping makes it within-ulp, not bitwise. n>1 falls
+    back to taps (the conv would leak across interior volume boundaries)."""
+    h2, w2, d, c, o = 6, 5, 8, 3, 5
+    k = rng.standard_normal((3, 3, 3, c, o)).astype(np.float32)
+    kp = jnp.asarray(pc.pack_kernel_stride1(k))
+    bp = jnp.asarray(pc.pack_bias_stride1(
+        rng.standard_normal((o,)).astype(np.float32)))
+    xf = jnp.asarray(rng.standard_normal((d, h2, w2, 4 * c)).astype(np.float32))
+    ref = pc.packed_conv3d_stride1_folded(xf, kp, bp, n_volumes=1,
+                                          formulation="taps")
+    got = pc.packed_conv3d_stride1_folded(xf, kp, bp, n_volumes=1,
+                                          formulation="dspatial")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # resolve: dspatial64 gates on lane width
+    assert pc.resolve_s1_formulation(64, "dspatial64") == "dspatial"
+    assert pc.resolve_s1_formulation(128, "dspatial64") == "taps"
+    # n>1 fallback stays correct (bitwise == taps, same code path)
+    xf2 = jnp.asarray(
+        rng.standard_normal((2 * d, h2, w2, 4 * c)).astype(np.float32))
+    ref2 = pc.packed_conv3d_stride1_folded(xf2, kp, bp, n_volumes=2,
+                                           formulation="taps")
+    got2 = pc.packed_conv3d_stride1_folded(xf2, kp, bp, n_volumes=2,
+                                           formulation="dspatial")
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
+
+
 def test_folded_stride2_conv_matches_packed(rng):
     n, h2, w2, d, c, o = 2, 6, 5, 4, 3, 5
     xp = jnp.asarray(rng.standard_normal((n, h2, w2, d, 4 * c)).astype(np.float32))
