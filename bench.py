@@ -15,6 +15,7 @@ vs_baseline is value / 500 (the north-star target).
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -30,7 +31,11 @@ def main():
                              "(utils_3D_embed_full.py:135), 32 = the "
                              "inference-CLI geometry "
                              "(inference_embed_attn.py:98,141)")
-    parser.add_argument("--runs", type=int, default=3)
+    parser.add_argument("--runs", type=int, default=8,
+                        help="volumes in the steady-state stream; the "
+                             "pipelined basis amortises the one-time "
+                             "dispatch+sync latency (~36 ms through the "
+                             "axon tunnel) over this many volumes")
     parser.add_argument("--sw_batch", type=int, default=1)
     parser.add_argument("--chunk_bucket", type=int, default=1,
                         help="chunk-count bucket for the runner's jit cache; "
@@ -126,16 +131,15 @@ def main():
     run_synced()
     t0 = time.perf_counter()
     outs = [runner(volume, params) for _ in range(args.runs)]
-    # Dispatch ALL the sync scalars before blocking on any: the device
-    # executes programs in dispatch order, so float(sums[0]) returns only
-    # after every volume has run and the remaining floats are already
-    # materialised. Blocking inside the dispatch loop (the previous form)
-    # serialised one ~25 ms tunnel round trip PER RUN into the measured
-    # region — the runner-gap trace (experiments/profile_runner_gaps.py)
-    # showed the volumes run gap-free and the whole wall/device difference
-    # was this sync tail.
+    # ONE device-side combine and ONE host read: every float() is its own
+    # ~26 ms tunnel round trip (round-5 module trace: the device runs the
+    # volumes gap-free at ~331 ms each and the entire wall/device
+    # difference was one scalar read per volume serialised into the
+    # measured region). A serving deployment never reads a scalar per
+    # volume; reducing on device and reading once measures the device's
+    # steady-state throughput with a single end-of-stream sync.
     sums = [jnp.sum(out[0, 0, 0, 0]) for out in outs]
-    acc = sum(float(s) for s in sums)
+    acc = float(functools.reduce(jnp.add, sums))
     pipelined = (time.perf_counter() - t0) / args.runs
     del acc
     best = min(min(times), pipelined)
@@ -221,8 +225,10 @@ def train_bench(args):
         state, loss_d, _ = step_fn(state, images, labels, dyn_w,
                                    jax.random.PRNGKey(20 + i))
         losses.append(loss_d)
-    loss = float(losses[0])
-    _ = [float(l) for l in losses]
+    # one device-side combine + one read (each float() is a ~26 ms tunnel
+    # round trip; see the inference bench note)
+    import functools as _ft
+    loss = float(_ft.reduce(jnp.add, losses)) / k
     pipelined_ms = (time.perf_counter() - t0) * 1000 / k
     best_ms = min(min(times), pipelined_ms / 1000) * 1000 / b
     print(f"loss={loss:.4f} times={[f'{t*1000:.0f}ms' for t in times]} "

@@ -79,6 +79,16 @@ SCAN_SPLIT = os.environ.get("LINTRANSUNET_SCAN_SPLIT", "1") == "1"
 # feeds it.
 SW_EXEC = os.environ.get("LINTRANSUNET_SW_EXEC", "auto")
 
+# Fold the runner's depth-bucket pad and final depth crop INTO the compiled
+# volume program (trace-time flag). The eager pad / crop dispatches were two
+# extra device programs per volume, and through the axon tunnel every
+# program launch costs ~7-10 ms of device idle (round-5 runner-gap trace:
+# ~28 ms device idle per volume boundary). E2E=1 (default) runs one
+# program per volume, keyed on the REAL shape + chunk count; E2E=0 keys
+# only on the padded shape (fewer compiled programs across a dataset with
+# many distinct depths) at the cost of the two extra dispatches.
+SW_E2E = os.environ.get("LINTRANSUNET_SW_E2E", "1") == "1"
+
 # SCAN_SPLIT stacks every window's prediction before blending; that buffer
 # is n_chunks*sw*N*prod(roi)*C_out elements of the predictor dtype and
 # grows linearly with window count (a 24 GB OOM was hit in round 3 before
@@ -367,11 +377,14 @@ class SlidingWindowRunner:
         self._grids = {}
         self._imp = None
 
-    def _grid(self, real_shape):
+    def _grid(self, real_shape, bucket_pad_norm=False):
         """Per real volume shape: (starts, weights, norm) with the MONAI
-        grid of the pad-to-roi extent, bucket-padded as blend no-ops."""
-        if real_shape in self._grids:
-            return self._grids[real_shape]
+        grid of the pad-to-roi extent. ``bucket_pad_norm`` end-pads the
+        norm map to the depth bucket with 1.0 (blend no-op) for the
+        non-E2E path whose program shape is the bucketed volume."""
+        key = (real_shape, bucket_pad_norm)
+        if key in self._grids:
+            return self._grids[key]
         spatial = padded_spatial_shape(real_shape[1:4], self.roi_size)
         starts = dense_window_starts(spatial, self.roi_size, self.overlap)
         num_windows = starts.shape[0]
@@ -385,16 +398,17 @@ class SlidingWindowRunner:
 
         norm = normalisation_map(spatial, self.roi_size, self.overlap,
                                  self.mode, self.sigma_scale)
-        pad_d = (-spatial[2]) % self.depth_bucket
-        if pad_d:  # bucket region: no contributions, keep the divide benign
-            norm = np.pad(norm, ((0, 0), (0, 0), (0, pad_d)),
-                          constant_values=1.0)
+        if bucket_pad_norm:
+            pad_d = (-spatial[2]) % self.depth_bucket
+            if pad_d:  # bucket region: no contributions, divide stays benign
+                norm = np.pad(norm, ((0, 0), (0, 0), (0, pad_d)),
+                              constant_values=1.0)
         grid = (
             jax.device_put(starts.reshape(n_chunks, self.sw_batch_size, 3)),
             jax.device_put(weights.reshape(n_chunks, self.sw_batch_size)),
             jax.device_put(norm),
         )
-        self._grids[real_shape] = grid
+        self._grids[key] = grid
         return grid
 
     def _compiled(self, padded_shape, n_chunks):
@@ -416,6 +430,34 @@ class SlidingWindowRunner:
                 self._programs[key] = jax.jit(run_bg)
             else:
                 self._programs[key] = jax.jit(run)
+        return self._programs[key]
+
+    def _compiled_e2e(self, real_shape, n_chunks):
+        """One program per volume: windows + blend + background derive in
+        one jit (see SW_E2E). No depth-bucket pad — the program is keyed on
+        the REAL shape anyway, so the canvas/epilogue run at the pad-to-roi
+        extent (sliding_window_inference handles the sub-roi symmetric pad
+        and crop itself)."""
+        key = ("e2e", real_shape, n_chunks)
+        if key not in self._programs:
+            run = functools.partial(
+                sliding_window_inference,
+                roi_size=self.roi_size,
+                sw_batch_size=self.sw_batch_size,
+                predictor=self.predictor,
+                overlap=self.overlap,
+                mode=self.mode,
+                sigma_scale=self.sigma_scale,
+            )
+            derive_bg = self.derive_background
+
+            def run_e2e(volume, **kw):
+                out = run(volume, **kw)
+                if derive_bg:
+                    out = jnp.concatenate([1.0 - out, out], axis=-1)
+                return out
+
+            self._programs[key] = jax.jit(run_e2e)
         return self._programs[key]
 
     def run_batch(self, volumes, *predictor_args, mesh=None):
@@ -517,11 +559,18 @@ class SlidingWindowRunner:
         """predictor_args (e.g. params) are traced operands, safe to update
         between calls without recompiling or staling."""
         n, h, w, d, c = volume.shape
-        starts, weights, norm = self._grid(volume.shape)
         if self.mode == "gaussian" and self._imp is None:
             self._imp = jax.device_put(
                 gaussian_importance(self.roi_size, self.sigma_scale))
 
+        if SW_E2E:
+            starts, weights, norm = self._grid(volume.shape)
+            fn = self._compiled_e2e(volume.shape, starts.shape[0])
+            return fn(volume, norm=norm, importance=self._imp,
+                      predictor_args=predictor_args,
+                      window_starts=starts, window_weights=weights)
+
+        starts, weights, norm = self._grid(volume.shape, bucket_pad_norm=True)
         # symmetric pad-to-roi (MONAI), then end-pad depth to the bucket
         d_roi = max(d, self.roi_size[2])
         pad_d = (-d_roi) % self.depth_bucket

@@ -136,18 +136,26 @@ def test_sliding_window_pads_small_volumes(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-6)
 
 
-def test_runner_depth_bucketing(rng):
+def test_runner_depth_bucketing(rng, monkeypatch):
     # chunk_bucket=4 rounds the chunk counts of both depths (2 and 4 real
     # windows after the sw re-chunk) to a common value (the default is 1:
-    # exact grids, no pad-window forwards)
-    runner = engine.SlidingWindowRunner(lambda x: x, (8, 8, 4), 2,
-                                        depth_bucket=4, chunk_bucket=4)
-    for d in (5, 7):
-        vol = jnp.asarray(rng.standard_normal((1, 8, 8, d, 2)).astype(np.float32))
-        out = runner(vol)
-        assert out.shape == vol.shape
-        np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-6)
-    assert len(runner._programs) == 1  # both depths bucketed to 8
+    # exact grids, no pad-window forwards). Under the default SW_E2E the
+    # pad/crop live inside the program so each real depth compiles its own
+    # (one dispatch per volume); with E2E off the bucket consolidates both
+    # depths onto ONE compiled program (fewer programs, two extra
+    # dispatches) — both paths must be exact.
+    for e2e, want_programs in ((True, 2), (False, 1)):
+        monkeypatch.setattr(engine.sliding_window, "SW_E2E", e2e)
+        runner = engine.SlidingWindowRunner(lambda x: x, (8, 8, 4), 2,
+                                            depth_bucket=4, chunk_bucket=4)
+        for d in (5, 7):
+            vol = jnp.asarray(
+                rng.standard_normal((1, 8, 8, d, 2)).astype(np.float32))
+            out = runner(vol)
+            assert out.shape == vol.shape
+            np.testing.assert_allclose(np.asarray(out), np.asarray(vol),
+                                       atol=1e-6)
+        assert len(runner._programs) == want_programs, (e2e, runner._programs)
 
 
 def test_checkpoint_roundtrip(tmp_path, model_and_state):
@@ -223,7 +231,12 @@ def test_runner_depth_bucketing_matches_unbucketed(rng):
                                atol=1e-6)
 
 
-def test_runner_shares_programs_across_depth_bucket(rng):
+def test_runner_shares_programs_across_depth_bucket(rng, monkeypatch):
+    # E2E=0: the bucket consolidates all three depths onto one program
+    # (the many-distinct-depths serving configuration; the default E2E=1
+    # trades this for one dispatch per volume — test_runner_depth_bucketing
+    # covers both).
+    monkeypatch.setattr(engine.sliding_window, "SW_E2E", False)
     predictor = lambda x: x
     runner = engine.SlidingWindowRunner(
         predictor, (8, 8, 8), 1, overlap=0.25, depth_bucket=8, chunk_bucket=4)
