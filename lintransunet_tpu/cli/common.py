@@ -42,6 +42,26 @@ def get_multi_criterion_list(num_levels: int, criterion_list, loss_module
     return criterions, loss_module.get_criterions(eval_list)
 
 
+def make_eval_runner(model, cfg, sw_batch_size=1):
+    """(eval_forward, SlidingWindowRunner) from an EvalConfig.
+
+    The one place the eval sliding-window geometry
+    (utils_3D_embed_full.py:135-148: square roi, overlap 0.6, constant
+    blending / sigma_scale=0) turns into a runner; every CLI builds its
+    ``EvalConfig`` from its flags and calls this.
+    """
+    from lintransunet_tpu import engine
+
+    eval_fwd = engine.make_eval_forward(model)
+    runner = engine.SlidingWindowRunner(
+        lambda x, params: eval_fwd(params, x),
+        roi_size=(cfg.roi_size, cfg.roi_size, cfg.depth_size),
+        sw_batch_size=sw_batch_size, overlap=cfg.overlap, mode=cfg.mode,
+        depth_bucket=min(32, cfg.depth_size),
+        derive_background=eval_fwd.fg_only)
+    return eval_fwd, runner
+
+
 def build_model(args) -> "ModelConfig":
     cfg = ModelConfig(
         model_name=args.model_name,

@@ -42,8 +42,9 @@ def main(args):
     import jax
     import jax.numpy as jnp
 
-    from lintransunet_tpu import engine, parallel
-    from lintransunet_tpu.cli.common import batched_predictions, build_model
+    from lintransunet_tpu import core, engine, parallel
+    from lintransunet_tpu.cli.common import (batched_predictions, build_model,
+                                             make_eval_runner)
     from lintransunet_tpu.data import DataLoader, EvaPanCTDataset
     from lintransunet_tpu.data.split import load_fold
     from lintransunet_tpu.losses import binary as loss_module
@@ -57,13 +58,11 @@ def main(args):
     out_dict = {}
 
     model = build_model(args)
-    eval_fwd = engine.make_eval_forward(model)
-    runner = engine.SlidingWindowRunner(
-        lambda x, params: eval_fwd(params, x),
-        roi_size=(args.roi_size, args.roi_size, args.depth_size),
-        sw_batch_size=args.sw_batch_size, overlap=args.overlap,
-        mode="constant", depth_bucket=32,
-        derive_background=eval_fwd.fg_only)
+    eval_cfg = core.EvalConfig(roi_size=args.roi_size,
+                               depth_size=args.depth_size,
+                               overlap=args.overlap)
+    eval_fwd, runner = make_eval_runner(model, eval_cfg,
+                                        sw_batch_size=args.sw_batch_size)
 
     if args.is_save:
         os.makedirs(args.saved_folder, exist_ok=True)

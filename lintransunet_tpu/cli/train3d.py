@@ -60,8 +60,9 @@ def main(args):
     import jax
     import jax.numpy as jnp
 
-    from lintransunet_tpu import engine, models, parallel
-    from lintransunet_tpu.cli.common import build_model, get_criterion_list, run_dirs
+    from lintransunet_tpu import core, engine, models, parallel
+    from lintransunet_tpu.cli.common import (build_model, get_criterion_list,
+                                             make_eval_runner, run_dirs)
     from lintransunet_tpu.data import DataLoader, EvaPanCTDataset, IdPosPanCTDataset
     from lintransunet_tpu.data.split import load_fold
     from lintransunet_tpu.engine import loop
@@ -104,19 +105,14 @@ def main(args):
         len(args.num_layers), args.criterion_list, loss_module)
     step_fn = engine.make_train_step(model, criterions, mesh=mesh)
 
-    eval_fwd = engine.make_eval_forward(model)
-    runner = engine.SlidingWindowRunner(
-        lambda x, params: eval_fwd(params, x),
-        roi_size=(args.image_crop, args.image_crop,
-                  getattr(args, "eval_depth", 64)),
-        sw_batch_size=1, overlap=0.6, mode="constant",
-        depth_bucket=min(32, getattr(args, "eval_depth", 64)),
-        derive_background=eval_fwd.fg_only)
+    eval_cfg = core.EvalConfig(roi_size=args.image_crop,
+                               depth_size=getattr(args, "eval_depth", 64))
+    eval_fwd, runner = make_eval_runner(model, eval_cfg)
     # eval-time conv-kernel prepack: one param transform per eval epoch
     # instead of one per window forward (models/packed.py:prepack_params)
     eval_plan = models.prepack_plan(model, jax.ShapeDtypeStruct(
-        (1, args.image_crop, args.image_crop,
-         getattr(args, "eval_depth", 64), model.dim_input), jnp.bfloat16))
+        (1, eval_cfg.roi_size, eval_cfg.roi_size,
+         eval_cfg.depth_size, model.dim_input), jnp.bfloat16))
 
     scheduler = engine.ReduceLROnPlateau(
         lr=args.learning_rate, factor=args.plateau_factor,
@@ -148,6 +144,7 @@ def main(args):
         if epoch % args.eval_epoch == 0:
             eval_loss, global_step = loop.eval_on_epoch(
                 runner, test_dl, eval_criterions, writer, global_step,
+                threshold=eval_cfg.threshold,
                 runner_args=(models.prepack_params(
                     model, state.params, None, plan=eval_plan),))
             state = engine.set_learning_rate(state, scheduler.step(eval_loss))

@@ -62,8 +62,10 @@ def main(args):
     import jax
     import jax.numpy as jnp
 
-    from lintransunet_tpu import engine, models, parallel
-    from lintransunet_tpu.cli.common import build_model, get_multi_criterion_list, run_dirs
+    from lintransunet_tpu import core, engine, models, parallel
+    from lintransunet_tpu.cli.common import (build_model,
+                                             get_multi_criterion_list,
+                                             make_eval_runner, run_dirs)
     from lintransunet_tpu.data import DataLoader, MultiClassEvaDataset, MultiClassPanCTDataset
     from lintransunet_tpu.data.split import load_fold
     from lintransunet_tpu.engine import loop
@@ -106,14 +108,9 @@ def main(args):
         model, criterions, criterion_weight=list(args.criterion_weight),
         num_classes=args.num_classes, mesh=mesh)
 
-    eval_fwd = engine.make_eval_forward(model)
-    runner = engine.SlidingWindowRunner(
-        lambda x, params: eval_fwd(params, x),
-        derive_background=eval_fwd.fg_only,
-        roi_size=(args.image_crop, args.image_crop,
-                  getattr(args, "eval_depth", 64)),
-        sw_batch_size=1, overlap=0.6, mode="constant",
-        depth_bucket=min(32, getattr(args, "eval_depth", 64)))
+    eval_cfg = core.EvalConfig(roi_size=args.image_crop,
+                               depth_size=getattr(args, "eval_depth", 64))
+    eval_fwd, runner = make_eval_runner(model, eval_cfg)
     # eval-time conv-kernel prepack: one param transform per eval epoch
     # instead of one per window forward (models/packed.py:prepack_params)
     eval_plan = models.prepack_plan(model, jax.ShapeDtypeStruct(

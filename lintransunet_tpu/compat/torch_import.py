@@ -35,7 +35,12 @@ def _flax_path(torch_key: str) -> Tuple[List[str], str]:
     return merged, leaf
 
 
-def _convert_leaf(leaf: str, value: np.ndarray) -> Tuple[str, np.ndarray]:
+def _convert_leaf(leaf: str, value: np.ndarray):
+    """(name, array) for a parameter leaf, or None for a non-parameter
+    buffer (BatchNorm running stats etc.) that the caller should skip with
+    a report rather than crash on — the reference's only BatchNorm is in
+    the dead SolidBlock (Unet_3Dblock.py:282), but a checkpoint containing
+    one must import, not raise."""
     value = np.asarray(value)
     if leaf == "weight":
         if value.ndim >= 3:  # conv: (O, I/g, k...) -> (k..., I/g, O)
@@ -46,6 +51,8 @@ def _convert_leaf(leaf: str, value: np.ndarray) -> Tuple[str, np.ndarray]:
         return "scale", value  # LayerNorm / norm affine
     if leaf == "bias":
         return "bias", value
+    if leaf in ("running_mean", "running_var", "num_batches_tracked"):
+        return None  # BatchNorm buffers: no flax target, skip-and-report
     raise ValueError(f"unhandled torch leaf {leaf!r}")
 
 
@@ -64,7 +71,11 @@ def convert_state_dict(state: Mapping[str, np.ndarray], params: Dict) -> Dict:
     skipped = []
     for key, value in state.items():
         path, leaf = _flax_path(key)
-        name, arr = _convert_leaf(leaf, value)
+        converted = _convert_leaf(leaf, value)
+        if converted is None:  # non-parameter buffer (BatchNorm stats)
+            skipped.append(key)
+            continue
+        name, arr = converted
         node = out
         ok = True
         for p in path:
