@@ -56,3 +56,27 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy golden-parity / flagship / model-level tests. Skipped "
+        "by default so the tier-1 run fits the CPU runner's budget; enable "
+        "with --runslow or LINTRANSUNET_RUN_SLOW=1 (the full CI tier).")
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked slow (the full tier)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if (config.getoption("--runslow")
+            or os.environ.get("LINTRANSUNET_RUN_SLOW") == "1"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: --runslow or LINTRANSUNET_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
