@@ -42,6 +42,7 @@ def model_and_state():
     return model, state, step
 
 
+@pytest.mark.slow
 def test_train_step_descends(model_and_state, rng):
     model, state, step = model_and_state
     images = jnp.asarray(rng.standard_normal((2, 16, 16, 4, 1)).astype(np.float32))
@@ -337,6 +338,7 @@ def test_scan_split_size_fallback(rng, monkeypatch):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow
 def test_model_batch_equivariance(rng):
     """The eval forward at batch 2 equals the two batch-1 forwards stacked
     (InstanceNorm/attention/bbox are all per-sample) — the property the
@@ -355,6 +357,7 @@ def test_model_batch_equivariance(rng):
     np.testing.assert_allclose(both, singles, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_fg_only_eval_and_derive_background(rng):
     """The fg-only eval path + runner derive_background must reproduce the
     full 2-channel sliding-window output EXACTLY: the one-hot satisfies

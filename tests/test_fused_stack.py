@@ -38,6 +38,7 @@ def _stack(C, NH, L, N, B, dt, seed=0):
     (256, 8, 2, 512, 1, jnp.bfloat16),  # flagship bottleneck shape class
     (128, 4, 1, 64, 3, jnp.bfloat16),   # single layer, tiny N, batch 3
 ])
+@pytest.mark.slow
 def test_fused_stack_matches_flax(C, NH, L, N, B, dt):
     x, params, oracle = _stack(C, NH, L, N, B, dt)
     A, w2, vecs = stack_layer_params(params)
@@ -48,6 +49,7 @@ def test_fused_stack_matches_flax(C, NH, L, N, B, dt):
     assert float(jnp.max(jnp.abs(got - want))) < tol
 
 
+@pytest.mark.slow
 def test_fused_stack_xla_reference_matches_flax():
     x, params, oracle = _stack(128, 4, 3, 300, 1, jnp.float32)
     A, w2, vecs = stack_layer_params(params)
@@ -56,6 +58,7 @@ def test_fused_stack_xla_reference_matches_flax():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_routing_preserves_param_names(monkeypatch):
     """Force the fused routing on (interpret via monkeypatched call) and
     check EmbedAttention3DBlock produces the same result as unfused."""

@@ -101,6 +101,7 @@ def small_setup(reference_modules):
         got_masks=got_masks)
 
 
+@pytest.mark.slow
 def test_mask_trans_unet_shapes(small_setup, rng):
     out = small_setup.got_eval
     assert out.shape == (1, 64, 64, 8, 2)
@@ -120,6 +121,7 @@ def test_mask_trans_unet_shapes(small_setup, rng):
     assert all(m.shape[-1] == 2 for m in mask_list)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ["TraditionUnet", "BottleTransUnet", "SkipTransUnet"])
 def test_plain_variants_run(rng, name):
     x = jnp.asarray(rng.standard_normal((1, 16, 16, 4, 1)).astype(np.float32))
@@ -131,6 +133,7 @@ def test_plain_variants_run(rng, name):
     np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mask_skip_variant_runs(rng):
     x = jnp.asarray(rng.standard_normal((1, 16, 16, 4, 1)).astype(np.float32))
     cls = get_model_dict("MaskSkipTransUnet")
@@ -141,6 +144,7 @@ def test_mask_skip_variant_runs(rng):
     assert len(mask_list) == 1
 
 
+@pytest.mark.slow
 def test_golden_parity_mask_trans_unet(small_setup):
     """Eval-mode forward parity with the reference on one small patch."""
     got = to_ncdhw(small_setup.got_eval)
@@ -151,6 +155,7 @@ def test_golden_parity_mask_trans_unet(small_setup):
     assert agreement > 0.999, f"one-hot agreement {agreement}"
 
 
+@pytest.mark.slow
 def test_golden_parity_train_probabilities(small_setup):
     """Train-branch (softmax probability) parity + deep-supervision masks."""
     np.testing.assert_allclose(to_ncdhw(small_setup.got_prob),
@@ -161,6 +166,7 @@ def test_golden_parity_train_probabilities(small_setup):
             to_ncdhw(got_m), ref_m.numpy(), rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_baseline_config1_forward_plus_dice_parity(small_setup):
     """BASELINE.json config 1: MaskTransUnet forward + Dice loss on one patch
     must match the reference numerically (forward through converted weights,
@@ -172,6 +178,7 @@ def test_baseline_config1_forward_plus_dice_parity(small_setup):
     assert got_dice == pytest.approx(small_setup.ref_dice, rel=1e-4, abs=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_qkv_matches_default(rng, monkeypatch):
     """LINTRANSUNET_FUSED_QKV=1 (one concatenated QKV GEMM per self-attention
     layer) must compute the same function with the same params as the three

@@ -61,6 +61,7 @@ def test_packed_upsample_matches_resize_then_pack(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_packed_top_model_matches_unpacked(rng):
     """packed_top=True must compute the same function with the same params."""
     import jax
@@ -85,6 +86,7 @@ def test_packed_top_model_matches_unpacked(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_packed_top_roi_level(rng):
     """Same check with an ROI bridge at the packed level (is_roi_list[0])."""
     import jax
@@ -334,6 +336,7 @@ def test_folded_plain_instance_norm(rng):
 
 # --------------------------------------------------------- folded model path
 
+@pytest.mark.slow
 def test_folded_model_matches_packed(rng):
     """folded=True must compute the same function with the same params as
     the packed 5D path (both branches, batch > 1)."""
@@ -359,6 +362,7 @@ def test_folded_model_matches_packed(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_folded_model_roi_level(rng):
     """Folded equivalence with an ROI bridge at the packed levels."""
     import jax
@@ -524,6 +528,7 @@ def test_paired_scale_matches_packed(rng):
                                np.asarray(ref), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("prepacked", [False, True])
 def test_paired_model_matches_folded(rng, prepacked):
     """paired=True must compute the same function with the same params as
@@ -558,6 +563,7 @@ def test_paired_model_matches_folded(rng, prepacked):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_paired_training_grads_match_folded(rng):
     """Gradients through the paired layout must match the folded path: the
     paired ops are exact reformulations, so the backward (transpose convs
@@ -622,6 +628,7 @@ def test_paired_eval_branch(rng):
                                   np.asarray(one_hot_argmax(probs)))
 
 
+@pytest.mark.slow
 def test_packed_eval_branch_multiclass(rng):
     """dim_output=3 packed eval epilogue (generalised lane argmax) must
     equal the argmax of the model's own probabilities."""
@@ -657,6 +664,7 @@ def test_packed_lane_one_hot_tie_rule(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("prepacked", [False, True])
 def test_sheared_model_matches_default(rng, prepacked, monkeypatch):
     """Forcing the sheared stride-1 formulation (LINTRANSUNET_FOLDED_S1=
@@ -693,6 +701,7 @@ def test_sheared_model_matches_default(rng, prepacked, monkeypatch):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("prepacked", [False, True])
 def test_sheared_paired_model_matches_default(rng, prepacked, monkeypatch):
     """Sheared + paired composed (both levers on the narrow levels) must
@@ -745,6 +754,7 @@ def test_sheared_paired_op_matches_paired(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_paired_wide_gate_matches_folded(rng, monkeypatch):
     """PAIRED_MAX_4C=128 (pairing a 4C=128 level, 8C=256 lanes) must stay
     exact — the paired ops are channel-generic; only the gate widens."""

@@ -6,6 +6,7 @@ import numpy as np
 
 from lintransunet_tpu.ops.attention import linear_attention
 from lintransunet_tpu.ops.pallas_attention import linear_attention_pallas
+import pytest
 
 
 def test_pallas_matches_xla_interpret(rng):
@@ -29,6 +30,7 @@ def test_pallas_rectangular_dv(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_gradients_match_xla(rng):
     import jax
 
@@ -68,6 +70,7 @@ def test_tiled_linear_attention_matches_einsum(rng, monkeypatch):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tiled_path_gradients(rng, monkeypatch):
     """Custom VJP must keep working when the forward takes the tiled path."""
     from lintransunet_tpu.ops import pallas_attention as pa

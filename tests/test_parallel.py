@@ -7,6 +7,7 @@ import numpy as np
 from lintransunet_tpu import engine, parallel
 from lintransunet_tpu.losses import binary as bin_losses
 from lintransunet_tpu.models import MaskTransUnet
+import pytest
 
 TINY = dict(
     num_layers=(8, 32),
@@ -23,6 +24,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device(rng):
     """The sharded step must produce the same params as the unsharded one."""
     model = MaskTransUnet(**TINY)
@@ -84,6 +86,7 @@ def test_dp_sliding_window_batch(rng):
     np.testing.assert_allclose(np.asarray(out)[..., 0], vol[..., 0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_cli_runs_data_parallel(tmp_path):
     """cli/train3d.main must execute its SPMD path on the 8-device mesh
     (batch sharded over the data axis) — the CLI equivalent of the
@@ -148,6 +151,7 @@ def test_runner_batch_sharded_matches_single(rng):
         np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_eval_forward_paired_matches_single_device(rng):
     """The paired (8C) layout's fold_pairs reshapes ride the sharded batch
     dim; the sharded eval forward must equal the single-device one."""

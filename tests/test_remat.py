@@ -39,6 +39,7 @@ def _loss_and_grads(monkeypatch, remat):
     return float(loss), jax.tree_util.tree_map(np.asarray, grads)
 
 
+@pytest.mark.slow
 def test_remat_attn_grads_identical(monkeypatch, rng):
     loss0, g0 = _loss_and_grads(monkeypatch, "")
     loss1, g1 = _loss_and_grads(monkeypatch, "attn")
@@ -52,6 +53,7 @@ def test_remat_attn_grads_identical(monkeypatch, rng):
                                    err_msg=str(p0))
 
 
+@pytest.mark.slow
 def test_remat_attn_dropout_rng_identical(monkeypatch, rng):
     """Dropout masks must be drawn identically under remat (flax threads the
     rng through the checkpoint), otherwise training trajectories diverge."""
