@@ -89,6 +89,19 @@ SW_EXEC = os.environ.get("LINTRANSUNET_SW_EXEC", "auto")
 # many distinct depths) at the cost of the two extra dispatches.
 SW_E2E = os.environ.get("LINTRANSUNET_SW_E2E", "1") == "1"
 
+# Static depth-region blending (trace-time flag, E2E path only). When the
+# window grid covers H and W with a single window (the serving geometry:
+# 512x512 roi on 512x512 volumes) and blending is constant-mode, the grid
+# is a pure function of the real shape, so the blend is STATIC: between
+# consecutive window-boundary depths every voxel is covered by the same
+# set of windows, so the blended output is just (sum of those windows'
+# slices) / count, concatenated along depth. This replaces the blend scan
+# (canvas dynamic-update-slice read-modify-write per window), the 201 MB
+# norm-map operand and the divide epilogue — ~12 ms/volume of the e2e
+# program at the bench geometry — with one streaming pass over the
+# prediction stack.
+STATIC_BLEND = os.environ.get("LINTRANSUNET_STATIC_BLEND", "1") == "1"
+
 # SCAN_SPLIT stacks every window's prediction before blending; that buffer
 # is n_chunks*sw*N*prod(roi)*C_out elements of the predictor dtype and
 # grows linearly with window count (a 24 GB OOM was hit in round 3 before
@@ -171,6 +184,69 @@ def _pad_to_roi(x: Array, roi_size) -> Tuple[Array, Tuple[Tuple[int, int], ...]]
     return x, tuple(pads)
 
 
+def _static_depth_run(x, roi_size, predictor, predictor_args,
+                      starts_np, weights_np, out_channels):
+    """Forward scan + static depth-region blend (STATIC_BLEND fast path).
+
+    x: (N, H, W, D, C) with (H, W) == roi_size[:2]. All real windows start
+    at (0, 0, s_z); between consecutive boundary depths every voxel is
+    covered by the same static set of windows, so the blend is
+    concat_regions(sum(member slices) / member count) — bit-equivalent to
+    the canvas scan + norm divide for constant blending with unit weights
+    (the reference call: overlap 0.6, sigma_scale=0).
+    """
+    n, h, w, d, c = x.shape
+    rd = roi_size[2]
+    starts_np = np.asarray(starts_np).reshape(-1, 3)
+    weights_np = np.asarray(weights_np).reshape(-1)
+    real = [i for i in range(starts_np.shape[0]) if weights_np[i] > 0]
+    starts_d = [int(starts_np[i, 2]) for i in real]
+
+    probe = jax.eval_shape(
+        predictor, jax.ShapeDtypeStruct((n,) + roi_size + (c,), x.dtype),
+        *predictor_args)
+    if out_channels is None:
+        out_channels = probe.shape[-1]
+
+    starts_j = jnp.asarray(starts_np[:, 2], jnp.int32)
+
+    def body(carry, s):
+        win = jax.lax.dynamic_slice(x, (0, 0, 0, s, 0),
+                                    (n,) + roi_size + (c,))
+        if SCAN_BARRIER in ("in", "both"):
+            win = jax.lax.optimization_barrier(win)
+        pred = predictor(win, *predictor_args)
+        if SCAN_BARRIER in ("pred", "both"):
+            pred = jax.lax.optimization_barrier(pred)
+        # merge (D, C) into one minor dim for lane-exact tiling (see the
+        # SCAN_SPLIT note); bit-identical reshape.
+        return carry, pred.reshape((n,) + roi_size[:2] + (rd * out_channels,))
+
+    _, preds = jax.lax.scan(body, 0, starts_j,
+                            unroll=min(SCAN_UNROLL, len(starts_j)))
+    # preds: (n_windows, N, H, W, rd*C)
+
+    bounds = sorted({s for s in starts_d} | {s + rd for s in starts_d})
+    segs = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        members = [(idx, s) for idx, s in zip(real, starts_d)
+                   if s <= a and b <= s + rd]
+        acc = None
+        for idx, s in members:
+            view = preds[idx].reshape((n,) + roi_size + (out_channels,))
+            sl = view[:, :, :, a - s:b - s, :].astype(jnp.float32)
+            acc = sl if acc is None else acc + sl
+        if len(members) > 1:
+            # barrier the literal so XLA emits a true divide (it rewrites
+            # x / const -> x * (1/const), 1 ulp off for non-power-of-2
+            # counts) — keeps the static path bit-identical to the
+            # operand-path canvas/norm divide.
+            den = jax.lax.optimization_barrier(jnp.float32(len(members)))
+            acc = acc / den
+        segs.append(acc)
+    return jnp.concatenate(segs, axis=3) if len(segs) > 1 else segs[0]
+
+
 def sliding_window_inference(
     inputs: Array,
     roi_size: Sequence[int],
@@ -185,6 +261,7 @@ def sliding_window_inference(
     predictor_args: tuple = (),
     window_starts: Optional[Array] = None,
     window_weights: Optional[Array] = None,
+    static_grid: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Array:
     """Blend per-window predictions over a full volume.
 
@@ -214,6 +291,23 @@ def sliding_window_inference(
     roi_size = tuple(int(r) for r in roi_size)
     x, pads = _pad_to_roi(inputs, roi_size)
     _, h, w, d, c = x.shape
+
+    if static_grid is not None:
+        # Static depth-region blend (see STATIC_BLEND). Caller guarantees:
+        # constant mode, sw_batch_size==1, single H/W window, unit weights
+        # on real windows. starts/weights become trace-time constants; no
+        # norm operand is needed (region counts are static).
+        starts_np, weights_np = static_grid
+        assert sw_batch_size == 1 and mode == "constant"
+        assert (h, w) == roi_size[:2], (h, w, roi_size)
+        out = _static_depth_run(
+            x, roi_size, predictor, predictor_args, starts_np, weights_np,
+            out_channels)
+        if any(p != (0, 0) for p in pads):
+            sl = tuple(slice(p[0], p[0] + s)
+                       for p, s in zip(pads[1:4], orig_spatial))
+            out = out[(slice(None),) + sl + (slice(None),)]
+        return out
 
     if norm is None:
         if window_starts is not None:
@@ -437,7 +531,9 @@ class SlidingWindowRunner:
         one jit (see SW_E2E). No depth-bucket pad — the program is keyed on
         the REAL shape anyway, so the canvas/epilogue run at the pad-to-roi
         extent (sliding_window_inference handles the sub-roi symmetric pad
-        and crop itself)."""
+        and crop itself). Returns (fn, wants_grid_operands): with the
+        STATIC_BLEND fast path the grid is baked in as trace-time
+        constants and the norm/starts operands are not taken."""
         key = ("e2e", real_shape, n_chunks)
         if key not in self._programs:
             run = functools.partial(
@@ -451,13 +547,37 @@ class SlidingWindowRunner:
             )
             derive_bg = self.derive_background
 
-            def run_e2e(volume, **kw):
-                out = run(volume, **kw)
-                if derive_bg:
-                    out = jnp.concatenate([1.0 - out, out], axis=-1)
-                return out
+            spatial = padded_spatial_shape(real_shape[1:4], self.roi_size)
+            use_static = (STATIC_BLEND and self.mode == "constant"
+                          and self.sw_batch_size == 1
+                          and spatial[:2] == self.roi_size[:2])
+            if use_static:
+                starts_np = dense_window_starts(
+                    spatial, self.roi_size, self.overlap)
+                num = starts_np.shape[0]
+                pad = n_chunks - num
+                weights_np = np.concatenate(
+                    [np.ones(num, np.float32), np.zeros(pad, np.float32)])
+                starts_np = np.concatenate(
+                    [starts_np, np.zeros((pad, 3), np.int32)])
+                grid = (starts_np, weights_np)
 
-            self._programs[key] = jax.jit(run_e2e)
+                def run_static(volume, predictor_args=()):
+                    out = run(volume, predictor_args=predictor_args,
+                              static_grid=grid)
+                    if derive_bg:
+                        out = jnp.concatenate([1.0 - out, out], axis=-1)
+                    return out
+
+                self._programs[key] = (jax.jit(run_static), False)
+            else:
+                def run_e2e(volume, **kw):
+                    out = run(volume, **kw)
+                    if derive_bg:
+                        out = jnp.concatenate([1.0 - out, out], axis=-1)
+                    return out
+
+                self._programs[key] = (jax.jit(run_e2e), True)
         return self._programs[key]
 
     def run_batch(self, volumes, *predictor_args, mesh=None):
@@ -564,8 +684,16 @@ class SlidingWindowRunner:
                 gaussian_importance(self.roi_size, self.sigma_scale))
 
         if SW_E2E:
+            spatial = padded_spatial_shape(volume.shape[1:4], self.roi_size)
+            num = dense_window_starts(
+                spatial, self.roi_size, self.overlap).shape[0]
+            n_chunks = int(math.ceil(num / self.sw_batch_size))
+            n_chunks = (int(math.ceil(n_chunks / self.chunk_bucket))
+                        * self.chunk_bucket)
+            fn, wants_grid = self._compiled_e2e(volume.shape, n_chunks)
+            if not wants_grid:
+                return fn(volume, predictor_args=predictor_args)
             starts, weights, norm = self._grid(volume.shape)
-            fn = self._compiled_e2e(volume.shape, starts.shape[0])
             return fn(volume, norm=norm, importance=self._imp,
                       predictor_args=predictor_args,
                       window_starts=starts, window_weights=weights)

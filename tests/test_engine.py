@@ -395,3 +395,42 @@ def test_fg_only_eval_and_derive_background(rng):
     got = np.asarray(fg_runner(vol, variables["params"]))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_static_depth_blend_matches_operand_path(rng, monkeypatch):
+    """STATIC_BLEND (depth-region sums with static counts) must be
+    bit-identical to the operand-path canvas/norm blend, engage only on
+    the single-H/W-window constant-mode geometry, and fall back cleanly
+    otherwise."""
+    predictor = lambda x: jnp.concatenate([x * 2.0, x[..., :1] - 1.0],
+                                          axis=-1)
+    kw = dict(roi_size=(8, 8, 4), sw_batch_size=1, overlap=0.6)
+
+    monkeypatch.setattr(engine.sliding_window, "STATIC_BLEND", False)
+    for d in (10, 3):  # overlapping grid; sub-roi pad path
+        vol = jnp.asarray(
+            rng.standard_normal((2, 8, 8, d, 3)).astype(np.float32))
+        ref = np.asarray(engine.SlidingWindowRunner(predictor, **kw)(vol))
+        monkeypatch.setattr(engine.sliding_window, "STATIC_BLEND", True)
+        runner = engine.SlidingWindowRunner(predictor, **kw)
+        got = np.asarray(runner(vol))
+        np.testing.assert_array_equal(got, ref)
+        monkeypatch.setattr(engine.sliding_window, "STATIC_BLEND", False)
+
+    # H wider than the roi -> multi-window H grid -> operand path
+    monkeypatch.setattr(engine.sliding_window, "STATIC_BLEND", True)
+    vol = jnp.asarray(rng.standard_normal((1, 12, 8, 6, 3)).astype(np.float32))
+    runner = engine.SlidingWindowRunner(predictor, **kw)
+    out = runner(vol)
+    assert out.shape == (1, 12, 8, 6, 4)
+    (fn, wants_grid), = runner._programs.values()
+    assert wants_grid  # fell back to the operand program
+
+    # gaussian mode -> operand path
+    runner = engine.SlidingWindowRunner(predictor, mode="gaussian",
+                                        sigma_scale=0.125, **kw)
+    vol = jnp.asarray(rng.standard_normal((1, 8, 8, 6, 3)).astype(np.float32))
+    out = runner(vol)
+    assert out.shape == (1, 8, 8, 6, 4)
+    (fn, wants_grid), = runner._programs.values()
+    assert wants_grid
