@@ -185,7 +185,8 @@ def _pad_to_roi(x: Array, roi_size) -> Tuple[Array, Tuple[Tuple[int, int], ...]]
 
 
 def _static_depth_run(x, roi_size, predictor, predictor_args,
-                      starts_np, weights_np, out_channels):
+                      starts_np, weights_np, out_channels,
+                      region_epilogue=None):
     """Forward scan + static depth-region blend (STATIC_BLEND fast path).
 
     x: (N, H, W, D, C) with (H, W) == roi_size[:2]. All real windows start
@@ -243,6 +244,10 @@ def _static_depth_run(x, roi_size, predictor, predictor_args,
             # operand-path canvas/norm divide.
             den = jax.lax.optimization_barrier(jnp.float32(len(members)))
             acc = acc / den
+        if region_epilogue is not None:
+            # elementwise epilogue (e.g. background derivation) fused into
+            # the region pass — exact: f per region == f on the concat
+            acc = region_epilogue(acc)
         segs.append(acc)
     return jnp.concatenate(segs, axis=3) if len(segs) > 1 else segs[0]
 
@@ -262,6 +267,7 @@ def sliding_window_inference(
     window_starts: Optional[Array] = None,
     window_weights: Optional[Array] = None,
     static_grid: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    region_epilogue=None,
 ) -> Array:
     """Blend per-window predictions over a full volume.
 
@@ -302,7 +308,7 @@ def sliding_window_inference(
         assert (h, w) == roi_size[:2], (h, w, roi_size)
         out = _static_depth_run(
             x, roi_size, predictor, predictor_args, starts_np, weights_np,
-            out_channels)
+            out_channels, region_epilogue=region_epilogue)
         if any(p != (0, 0) for p in pads):
             sl = tuple(slice(p[0], p[0] + s)
                        for p, s in zip(pads[1:4], orig_spatial))
@@ -562,12 +568,13 @@ class SlidingWindowRunner:
                     [starts_np, np.zeros((pad, 3), np.int32)])
                 grid = (starts_np, weights_np)
 
+                epi = ((lambda fg: jnp.concatenate([1.0 - fg, fg],
+                                                   axis=-1))
+                       if derive_bg else None)
+
                 def run_static(volume, predictor_args=()):
-                    out = run(volume, predictor_args=predictor_args,
-                              static_grid=grid)
-                    if derive_bg:
-                        out = jnp.concatenate([1.0 - out, out], axis=-1)
-                    return out
+                    return run(volume, predictor_args=predictor_args,
+                               static_grid=grid, region_epilogue=epi)
 
                 self._programs[key] = (jax.jit(run_static), False)
             else:

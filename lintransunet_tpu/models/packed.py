@@ -240,7 +240,8 @@ class PackedDownBlock(nn.Module):
     @nn.compact
     def __call__(self, xp: Array, train: bool = False,
                  n_volumes: Optional[int] = None, paired: bool = False):
-        fmode = (pcv.fused_s1_mode(train, n_volumes, xp.shape[-1])
+        fmode = (pcv.fused_s1_mode(train, n_volumes, xp.shape[-1],
+                                   paired=paired)
                  if self.kernel_size == 3 else None)
         hbo = None
         if fmode is False:
@@ -339,7 +340,7 @@ class PackedUpBlock(nn.Module):
 
         no_l = 4 * self.out_channels * (2 if paired else 1)
         fmode = (pcv.fused_s1_mode(train, n_volumes, xp.shape[-1],
-                                   skip_p.shape[-1], no_l)
+                                   skip_p.shape[-1], no_l, paired=paired)
                  if self.kernel_size == 3 else None)
         hbo = None
         if fmode is False:

@@ -105,7 +105,8 @@ class Encoder(nn.Module):
                     xp = pc.fold_pairs(xp, n)
             else:
                 xp = pk.pack(x)
-            fmode = (pcv.fused_s1_mode(train, nv, xp.shape[-1])
+            fmode = (pcv.fused_s1_mode(train, nv, xp.shape[-1],
+                                       paired=p0)
                      if self.kernel_size == 3 else None)
             hbo0 = None
             if fmode is False:

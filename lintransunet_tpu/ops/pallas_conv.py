@@ -69,8 +69,18 @@ NEG_SLOPE = 0.01  # torch nn.LeakyReLU default, the reference's act
 # like the other trace-time knobs (ops/packed_conv.py rationale).
 FUSED_S1_MODE = __import__("os").environ.get("LINTRANSUNET_FUSED_S1", "0")
 
+# Region containment for the canvas kernel's layout boundary: barrier the
+# canvas region's entry/exit tensors so XLA's layout assignment cannot
+# re-plan NEIGHBOURING ops around the custom call's forced row-major
+# operands — the round-4 embedded loss was ~12 ms/window of exactly that
+# poisoning (docs/DESIGN.md round-4 canvas verdict; same failure mode and
+# fix as the PEG layout leak, models/blocks.py).
+FUSED_S1_BARRIER = __import__("os").environ.get(
+    "LINTRANSUNET_FUSED_S1_BARRIER", "1") == "1"
 
-def fused_s1_mode(train: bool, n_volumes, *lane_counts: int) -> Optional[bool]:
+
+def fused_s1_mode(train: bool, n_volumes, *lane_counts: int,
+                  paired: bool = False) -> Optional[bool]:
     """None = keep the XLA path; False = run the Mosaic kernel; True =
     run it in interpret mode (CPU testing). Eval-only — the kernel has
     no custom VJP, training keeps the XLA formulation.
@@ -81,12 +91,19 @@ def fused_s1_mode(train: bool, n_volumes, *lane_counts: int) -> Optional[bool]:
     Mosaic rejects sliced copies whose minor dim is below the (8, 128)
     tile (seen on the 32-lane paired input conv). Narrow units keep the
     XLA path; interpret mode (CPU tests) has no such constraint.
+
+    Modes: "1" routes every lane-exact unit; "paired" routes ONLY the
+    paired (8C) units — the round-4 chain probe showed the kernel wins
+    in-body at the L0 paired geometry (-9%) but LOSES at the folded L1
+    one (+33-55%), so region residency is only worth it at L0.
     """
     if train or n_volumes is None:
         return None
     if FUSED_S1_MODE == "interpret":
         return True
-    if (FUSED_S1_MODE == "1" and pallas_supported()
+    if (FUSED_S1_MODE in ("1", "paired")
+            and (paired or FUSED_S1_MODE == "1")
+            and pallas_supported()
             and all(l % LANE == 0 for l in lane_counts)):
         return False
     return None
@@ -207,6 +224,8 @@ def to_canvas(x: jnp.ndarray, n_volumes: int = 1,
     between volumes and at both ends; one-pixel zero frame in H/W.
     """
     nd, h, w, l = x.shape
+    if FUSED_S1_BARRIER:
+        x = jax.lax.optimization_barrier(x)
     d = nd // n_volumes
     s, hc, wc, _ = canvas_dims(h, w, d, n_volumes, hbo)
     x5 = x.reshape(n_volumes, d, h, w, l)
@@ -223,7 +242,10 @@ def from_canvas(xc: jnp.ndarray, h: int, w: int,
     d1 = (s - 1) // n_volumes
     x5 = xc[:-1].reshape(n_volumes, d1, hc, wc, l)
     x5 = x5[:, 1:, 1:h + 1, 1:w + 1, :]
-    return x5.reshape(n_volumes * (d1 - 1), h, w, l)
+    out = x5.reshape(n_volumes * (d1 - 1), h, w, l)
+    if FUSED_S1_BARRIER:
+        out = jax.lax.optimization_barrier(out)
+    return out
 
 
 def stats_to_affine(stats: jnp.ndarray, channels: int, count: int,
