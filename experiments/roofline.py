@@ -49,7 +49,54 @@ def cost(compiled):
     return flops, byts, ca
 
 
+def train_roofline():
+    """Same analysis for the training step (bench.py --train workload)."""
+    from lintransunet_tpu import engine
+    from lintransunet_tpu.cli.common import get_criterion_list
+    from lintransunet_tpu.engine.schedule import get_dynamic_weight
+    from lintransunet_tpu.losses import binary as loss_module
+
+    model = MaskTransUnet(
+        num_layers=(16, 32, 64, 128, 256),
+        roi_size_list=(100, 65, 40, 25, 10),
+        is_roi_list=(False, True, True, True, True),
+        dim_input=1, dim_output=2, packed_levels=2, dtype=jnp.bfloat16)
+    shape = (1, 512, 512, 32, 1)
+    images = jnp.zeros(shape, jnp.bfloat16)
+    labels = jnp.zeros(shape[:4], jnp.int32)
+    state = engine.create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros(shape, jnp.bfloat16),
+        learning_rate=1e-4)
+    criterions, _ = get_criterion_list(
+        5, ["CrossEntroLoss", "DiceClassLoss"], loss_module)
+    step_fn = engine.make_train_step(model, criterions, donate=False)
+    dyn_w = jnp.asarray(get_dynamic_weight(
+        epochs=1, T=12.0, warmup_step=10,
+        weight_list=(0.05, 0.05, 0.1, 0.1, 1.0),
+        initial_weight=(0.1, 0.2, 0.3, 0.4, 1.0),
+        final_weight=(2.0, 1.5, 1.0, 1.0, 1.0))[0], jnp.float32)
+    compiled = step_fn.lower(
+        state, images, labels, dyn_w, jax.random.PRNGKey(1)).compile()
+    flops, byts, _ = cost(compiled)
+    t_mxu = flops / PEAK_TFLOPS * 1e3
+    t_hbm = byts / PEAK_HBM * 1e3
+    print(f"\ntrain step (512x512x32 patch, batch 1, deep supervision, "
+          f"AdamW):")
+    print(f"  flops = {flops/1e12:.3f} TF   bytes = {byts/1e9:.3f} GB")
+    print(f"  floors: mxu {t_mxu:.2f} ms  hbm {t_hbm:.2f} ms  -> "
+          f"roofline {max(t_mxu, t_hbm):.2f} ms/step")
+    meas = 130.0
+    print(f"  measured {meas:.1f} ms/step -> "
+          f"{flops/(meas/1e3)/1e12:.1f} TF/s "
+          f"({flops/(meas/1e3)/PEAK_TFLOPS*100:.0f}% MXU), "
+          f"{byts/(meas/1e3)/1e9:.0f} GB/s "
+          f"({byts/(meas/1e3)/PEAK_HBM*100:.0f}% HBM)")
+
+
 def main():
+    if "--train" in sys.argv:
+        print(f"backend: {jax.default_backend()}")
+        return train_roofline()
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
     print(f"window = {ROI}  patch_equiv = {PATCH_EQUIV:.3f}  "
           f"target (500 p/s) = {TARGET_MS:.2f} ms/window")
