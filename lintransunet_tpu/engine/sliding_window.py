@@ -102,6 +102,15 @@ SW_E2E = os.environ.get("LINTRANSUNET_SW_E2E", "1") == "1"
 # prediction stack.
 STATIC_BLEND = os.environ.get("LINTRANSUNET_STATIC_BLEND", "1") == "1"
 
+# Fully unroll the STATIC_BLEND window loop into independent per-window
+# forwards with static slices (trace-time flag; engages when the grid has
+# at most this many windows, 0 = never). Without the scan's loop-carried
+# sequencing XLA may overlap window i's bandwidth-bound fusions with
+# window i+1's MXU convs. Costs ~n_windows x program size (slower compile
+# per volume shape). Measured +1.5 patches/s on the bench geometry
+# (290.3-290.4 vs 288.8 same session, barriers neutral); default 8.
+STATIC_UNROLL_MAX = int(os.environ.get("LINTRANSUNET_STATIC_UNROLL", "8"))
+
 # SCAN_SPLIT stacks every window's prediction before blending; that buffer
 # is n_chunks*sw*N*prod(roi)*C_out elements of the predictor dtype and
 # grows linearly with window count (a 24 GB OOM was hit in round 3 before
@@ -209,11 +218,7 @@ def _static_depth_run(x, roi_size, predictor, predictor_args,
     if out_channels is None:
         out_channels = probe.shape[-1]
 
-    starts_j = jnp.asarray(starts_np[:, 2], jnp.int32)
-
-    def body(carry, s):
-        win = jax.lax.dynamic_slice(x, (0, 0, 0, s, 0),
-                                    (n,) + roi_size + (c,))
+    def forward_one(win):
         if SCAN_BARRIER in ("in", "both"):
             win = jax.lax.optimization_barrier(win)
         pred = predictor(win, *predictor_args)
@@ -221,10 +226,22 @@ def _static_depth_run(x, roi_size, predictor, predictor_args,
             pred = jax.lax.optimization_barrier(pred)
         # merge (D, C) into one minor dim for lane-exact tiling (see the
         # SCAN_SPLIT note); bit-identical reshape.
-        return carry, pred.reshape((n,) + roi_size[:2] + (rd * out_channels,))
+        return pred.reshape((n,) + roi_size[:2] + (rd * out_channels,))
 
-    _, preds = jax.lax.scan(body, 0, starts_j,
-                            unroll=min(SCAN_UNROLL, len(starts_j)))
+    if 0 < STATIC_UNROLL_MAX and starts_np.shape[0] <= STATIC_UNROLL_MAX:
+        # independent per-window forwards on STATIC slices — no scan, no
+        # loop-carried sequencing (see STATIC_UNROLL_MAX)
+        preds = jnp.stack([
+            forward_one(jax.lax.slice(
+                x, (0, 0, 0, int(s), 0),
+                (n, roi_size[0], roi_size[1], int(s) + rd, c)))
+            for s in starts_np[:, 2]])
+    else:
+        starts_j = jnp.asarray(starts_np[:, 2], jnp.int32)
+        _, preds = jax.lax.scan(
+            lambda carry, s: (carry, forward_one(jax.lax.dynamic_slice(
+                x, (0, 0, 0, s, 0), (n,) + roi_size + (c,)))),
+            0, starts_j, unroll=min(SCAN_UNROLL, len(starts_j)))
     # preds: (n_windows, N, H, W, rd*C)
 
     bounds = sorted({s for s in starts_d} | {s + rd for s in starts_d})
